@@ -1,0 +1,134 @@
+"""Poseidon-Goldilocks binary Merkle tree over row-major polynomial sources.
+
+TPU-native equivalent of the reference MerkleTreeGL
+(/root/reference/src/starkpil/merkleTree/merkleTreeGL.{hpp,cpp}): leaves are
+``linear_hash`` digests of (height x width) rows; internal levels pair-hash
+with zero capacity.  The build is a sequence of vectorized level reductions
+(device-side); proof extraction gathers sibling digests (host- or
+device-side) exactly like getGroupProof/genMerkleProof.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gl
+from . import poseidon_gl as poseidon
+
+
+class MerkleTree(NamedTuple):
+    """levels[0] = leaf digests (n, 4) ... levels[-1] = root (1, 4)."""
+    levels: tuple
+    width: int
+
+    @property
+    def height(self):
+        return self.levels[0][0].shape[0]
+
+    @property
+    def root(self):
+        top = self.levels[-1]
+        return (top[0][0], top[1][0])
+
+    def root_np(self) -> np.ndarray:
+        return gl.to_u64_np(self.root)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _build_levels(rows, width: int):
+    n = rows[0].shape[0]
+    assert n & (n - 1) == 0, "height must be a power of two"
+    leaves = poseidon.linear_hash(rows, width)
+    levels = [leaves]
+    cur = leaves
+    while cur[0].shape[0] > 1:
+        m = cur[0].shape[0] // 2
+        left = (cur[0][0::2], cur[1][0::2])
+        right = (cur[0][1::2], cur[1][1::2])
+        cur = poseidon.hash_node(left, right)
+        levels.append(cur)
+    return tuple(levels)
+
+
+def merkelize(rows, width: int) -> MerkleTree:
+    """rows: pair of (height, width) arrays."""
+    return MerkleTree(levels=_build_levels(rows, width), width=width)
+
+
+def get_proof(tree: MerkleTree, idx: int):
+    """Sibling path for leaf `idx`: list of 4-element digests (bottom-up)."""
+    path = []
+    for level in tree.levels[:-1]:
+        sib = (idx ^ 1)
+        path.append(gl.to_u64_np((level[0][sib], level[1][sib])))
+        idx >>= 1
+    return path
+
+
+def verify_proof(root_np: np.ndarray, idx: int, leaf_row_np: np.ndarray,
+                 path) -> bool:
+    """Host-exact verification: recompute leaf digest then walk the path."""
+    digest = _host_linear_hash([int(v) for v in leaf_row_np])
+    for sib in path:
+        sib = [int(v) for v in sib]
+        if idx & 1:
+            state = sib + digest + [0, 0, 0, 0]
+        else:
+            state = digest + sib + [0, 0, 0, 0]
+        digest = _host_permute(state)[:4]
+        idx >>= 1
+    return digest == [int(v) for v in root_np]
+
+
+# ---------------------------------------------------------------------------
+# Host-exact Poseidon oracle (python ints) for verification and tests
+# ---------------------------------------------------------------------------
+
+def _host_permute(state):
+    from . import poseidon_constants as pc
+    P = gl.P
+    consts, mds, _ = pc.get_params()
+    t = pc.WIDTH
+    state = [s % P for s in state]
+    r = 0
+    half = pc.FULL_ROUNDS // 2
+
+    def ark(s, r):
+        return [(x + consts[r * t + i]) % P for i, x in enumerate(s)]
+
+    def m(s):
+        return [sum(s[i] * mds[i][j] for i in range(t)) % P for j in range(t)]
+
+    for _ in range(half):
+        state = ark(state, r)
+        state = [pow(x, 7, P) for x in state]
+        state = m(state)
+        r += 1
+    for _ in range(pc.PARTIAL_ROUNDS):
+        state = ark(state, r)
+        state[0] = pow(state[0], 7, P)
+        state = m(state)
+        r += 1
+    for _ in range(half):
+        state = ark(state, r)
+        state = [pow(x, 7, P) for x in state]
+        state = m(state)
+        r += 1
+    return state
+
+
+def _host_linear_hash(row):
+    from . import poseidon_constants as pc
+    if len(row) <= pc.CAPACITY:
+        return row + [0] * (pc.CAPACITY - len(row))
+    digest = [0, 0, 0, 0]
+    for start in range(0, len(row), pc.RATE):
+        chunk = row[start:start + pc.RATE]
+        chunk = chunk + [0] * (pc.RATE - len(chunk))
+        digest = _host_permute(chunk + digest)[:4]
+    return digest
