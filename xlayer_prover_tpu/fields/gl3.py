@@ -1,19 +1,17 @@
 """Cubic extension of Goldilocks: F_p[x] / (x^3 - x - 1).
 
-TPU-native equivalent of the reference's ``Goldilocks3`` (consumed throughout
-/root/reference/src/starkpil: challenges, grand products, FRI polynomial are
-all degree-3; e.g. starks.cpp:301-391, friProve.cpp:85-108).
-
-Elements are triples ``(c0, c1, c2)`` of base-field pairs (see fields.gl).
-Inversion uses the Frobenius/norm method with host-precomputed matrices for
-the linear maps a -> a^p and a -> a^(p^2), so a vector inverse costs two 3x3
-constant matrix products, two extension muls and one base-field inverse.
+TPU-native equivalent of the reference's ``Goldilocks3`` (challenges, grand
+products and the FRI polynomial are all degree-3; e.g. starks.cpp:301-391,
+friProve.cpp:85-108).  Elements are triples ``(c0, c1, c2)`` of uint64
+arrays (see fields.gl).  Inversion uses the Frobenius/norm method with
+host-precomputed matrices for a -> a^p and a -> a^(p^2).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,7 +21,7 @@ P = gl.P
 
 
 # ---------------------------------------------------------------------------
-# Host-side exact helpers (python ints): polynomial arithmetic mod x^3 - x - 1
+# Host-side exact helpers: polynomial arithmetic mod x^3 - x - 1
 # ---------------------------------------------------------------------------
 
 def _host_mul3(a, b):
@@ -44,6 +42,25 @@ def _host_pow3(a, e: int):
         base = _host_mul3(base, base)
         e >>= 1
     return r
+
+
+def _host_inv3(a):
+    """Inverse via norm: a^-1 = a^(p+p^2) / N(a)."""
+    f1, f2 = _frobenius_matrices()
+
+    def apply(mat, v):
+        out = [0, 0, 0]
+        for i in range(3):
+            for k in range(3):
+                out[k] = (out[k] + v[i] * mat[i][k]) % P
+        return out
+
+    ap = apply(f1, a)
+    ap2 = apply(f2, a)
+    t = _host_mul3(ap, ap2)
+    n = _host_mul3(a, t)[0]
+    n_inv = pow(n, P - 2, P)
+    return [(c * n_inv) % P for c in t]
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,8 +86,7 @@ def ones(shape):
 
 
 def from_base(a):
-    """Embed a base-field pair as (a, 0, 0)."""
-    z = gl.zeros(a[0].shape)
+    z = jnp.zeros_like(a)
     return (a, z, z)
 
 
@@ -79,7 +95,6 @@ def from_ints(c0: int, c1: int, c2: int, shape=()):
 
 
 def from_u64_np(arr):
-    """numpy uint64 array with trailing dim 3 -> gl3 element."""
     arr = np.asarray(arr, dtype=np.uint64)
     assert arr.shape[-1] == 3
     return tuple(gl.from_u64_np(arr[..., k]) for k in range(3))
@@ -139,7 +154,6 @@ def sqr(a):
 
 
 def _apply_frob(a, mat):
-    """Linear map with host-constant 3x3 matrix of field scalars."""
     out = []
     for k in range(3):
         acc = None
@@ -149,77 +163,59 @@ def _apply_frob(a, mat):
                 continue
             term = a[i] if c == 1 else gl.mul_const(a[i], c)
             acc = term if acc is None else gl.add(acc, term)
-        out.append(acc if acc is not None else gl.zeros(a[0][0].shape))
+        out.append(acc if acc is not None else jnp.zeros_like(a[0]))
     return tuple(out)
 
 
 def frobenius(a):
-    f1, _ = _frobenius_matrices()
-    return _apply_frob(a, f1)
+    return _apply_frob(a, _frobenius_matrices()[0])
 
 
 def inv(a):
-    """a^(-1) via norm: inv(a) = a^p * a^(p^2) / N(a), N(a) in the base field."""
+    """a^(-1) via norm: inv(a) = a^p * a^(p^2) / N(a), N(a) base field."""
     f1, f2 = _frobenius_matrices()
     ap = _apply_frob(a, f1)
     ap2 = _apply_frob(a, f2)
-    t = mul(ap, ap2)              # a^(p + p^2)
-    n = mul(a, t)                 # norm: lands in base field (c1 = c2 = 0)
+    t = mul(ap, ap2)
+    n = mul(a, t)
     n_inv = gl.inv(n[0])
     return mul_base(t, n_inv)
 
 
 def batch_inv(a, axis=0):
-    """Montgomery batch inversion over the extension field."""
-    import jax
-
-    is_zero = (a[0][0] == 0) & (a[0][1] == 0) & (a[1][0] == 0) & (a[1][1] == 0) \
-        & (a[2][0] == 0) & (a[2][1] == 0)
-    one = ones(a[0][0].shape)
+    is_zero = (a[0] == 0) & (a[1] == 0) & (a[2] == 0)
+    one = ones(a[0].shape)
     a = select(is_zero, one, a)
-
     pre = jax.lax.associative_scan(mul, a, axis=axis)
-    flipped = tuple((jnp.flip(c[0], axis=axis), jnp.flip(c[1], axis=axis)) for c in a)
+    flipped = tuple(jnp.flip(c, axis=axis) for c in a)
     suf = jax.lax.associative_scan(mul, flipped, axis=axis)
-    suf = tuple((jnp.flip(c[0], axis=axis), jnp.flip(c[1], axis=axis)) for c in suf)
-
-    n = a[0][0].shape[axis]
-    total = tuple((jax.lax.index_in_dim(c[0], n - 1, axis=axis, keepdims=True),
-                   jax.lax.index_in_dim(c[1], n - 1, axis=axis, keepdims=True)) for c in pre)
+    suf = tuple(jnp.flip(c, axis=axis) for c in suf)
+    n = a[0].shape[axis]
+    total = tuple(jax.lax.index_in_dim(c, n - 1, axis=axis, keepdims=True)
+                  for c in pre)
     inv_total = inv(total)
-
-    one_shape = list(a[0][0].shape)
+    one_shape = list(a[0].shape)
     one_shape[axis] = 1
     one_blk = ones(tuple(one_shape))
-
-    def shift_right(x, fill):
-        return tuple(
-            (jnp.concatenate([fill[k][0], jax.lax.slice_in_dim(x[k][0], 0, n - 1, axis=axis)], axis=axis),
-             jnp.concatenate([fill[k][1], jax.lax.slice_in_dim(x[k][1], 0, n - 1, axis=axis)], axis=axis))
-            for k in range(3))
-
-    def shift_left(x, fill):
-        return tuple(
-            (jnp.concatenate([jax.lax.slice_in_dim(x[k][0], 1, n, axis=axis), fill[k][0]], axis=axis),
-             jnp.concatenate([jax.lax.slice_in_dim(x[k][1], 1, n, axis=axis), fill[k][1]], axis=axis))
-            for k in range(3))
-
-    pre_excl = shift_right(pre, one_blk)
-    suf_excl = shift_left(suf, one_blk)
+    pre_excl = tuple(jnp.concatenate(
+        [one_blk[k], jax.lax.slice_in_dim(pre[k], 0, n - 1, axis=axis)],
+        axis=axis) for k in range(3))
+    suf_excl = tuple(jnp.concatenate(
+        [jax.lax.slice_in_dim(suf[k], 1, n, axis=axis), one_blk[k]],
+        axis=axis) for k in range(3))
     out = mul(mul(pre_excl, suf_excl), inv_total)
-    zero = zeros(a[0][0].shape)
-    return select(is_zero, zero, out)
+    zero = jnp.uint64(0)
+    return tuple(jnp.where(is_zero, zero, c) for c in out)
 
 
 def select(pred, a, b):
-    return tuple((jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1]))
-                 for x, y in zip(a, b))
+    return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
 
 
 def eq(a, b):
     r = None
     for x, y in zip(a, b):
-        e = gl.eq(x, y)
+        e = x == y
         r = e if r is None else (r & e)
     return r
 
@@ -227,7 +223,7 @@ def eq(a, b):
 def exp_const(a, e: int):
     e %= (P ** 3 - 1)
     if e == 0:
-        return ones(a[0][0].shape)
+        return ones(a[0].shape)
     result = None
     base = a
     while e:
@@ -239,25 +235,43 @@ def exp_const(a, e: int):
     return result
 
 
+def sum_axis(a, axis=0):
+    return tuple(gl.sum_axis(c, axis=axis) for c in a)
+
+
+def powers_device(x, n: int):
+    """[x^k for k < n] for a gl3 scalar x (triple of ()-shaped arrays)."""
+    assert n >= 1
+    cur = ones((1,))
+    mult = tuple(c.reshape(()) for c in x)
+    length = 1
+    while length < n:
+        step = min(length, n - length)
+        head = tuple(c[:step] for c in cur)
+        scaled = mul(head, mult)
+        cur = tuple(jnp.concatenate([c, s]) for c, s in zip(cur, scaled))
+        mult = mul(mult, mult)
+        length += step
+    return cur
+
+
 # ---------------------------------------------------------------------------
 # Structural helpers
 # ---------------------------------------------------------------------------
 
 def reshape(a, shape):
-    return tuple(gl.reshape(c, shape) for c in a)
+    return tuple(c.reshape(shape) for c in a)
 
 
 def take(a, idx, axis=0):
-    return tuple(gl.take(c, idx, axis=axis) for c in a)
+    return tuple(jnp.take(c, idx, axis=axis) for c in a)
 
 
 def stack_cols(a):
-    """(c0,c1,c2) of shape S -> base-pair of shape S+(3,) (interleaved dims)."""
-    return (jnp.stack([c[0] for c in a], axis=-1),
-            jnp.stack([c[1] for c in a], axis=-1))
+    """(c0,c1,c2) of shape S -> single array of shape S+(3,)."""
+    return jnp.stack(list(a), axis=-1)
 
 
-def from_cols(pair):
+def from_cols(arr):
     """Inverse of stack_cols."""
-    lo, hi = pair
-    return tuple((lo[..., k], hi[..., k]) for k in range(3))
+    return tuple(arr[..., k] for k in range(3))

@@ -4,8 +4,8 @@ TPU-native equivalent of the reference MerkleTreeGL
 (/root/reference/src/starkpil/merkleTree/merkleTreeGL.{hpp,cpp}): leaves are
 ``linear_hash`` digests of (height x width) rows; internal levels pair-hash
 with zero capacity.  The build is a sequence of vectorized level reductions
-(device-side); proof extraction gathers sibling digests (host- or
-device-side) exactly like getGroupProof/genMerkleProof.
+(device-side); proof extraction gathers sibling digests like
+getGroupProof/genMerkleProof.
 """
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ import functools
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..fields import gl
@@ -28,12 +27,11 @@ class MerkleTree(NamedTuple):
 
     @property
     def height(self):
-        return self.levels[0][0].shape[0]
+        return self.levels[0].shape[0]
 
     @property
     def root(self):
-        top = self.levels[-1]
-        return (top[0][0], top[1][0])
+        return self.levels[-1][0]
 
     def root_np(self) -> np.ndarray:
         return gl.to_u64_np(self.root)
@@ -41,22 +39,18 @@ class MerkleTree(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _build_levels(rows, width: int):
-    n = rows[0].shape[0]
+    n = rows.shape[0]
     assert n & (n - 1) == 0, "height must be a power of two"
-    leaves = poseidon.linear_hash(rows, width)
-    levels = [leaves]
-    cur = leaves
-    while cur[0].shape[0] > 1:
-        m = cur[0].shape[0] // 2
-        left = (cur[0][0::2], cur[1][0::2])
-        right = (cur[0][1::2], cur[1][1::2])
-        cur = poseidon.hash_node(left, right)
+    cur = poseidon.linear_hash(rows, width)
+    levels = [cur]
+    while cur.shape[0] > 1:
+        cur = poseidon.hash_node(cur[0::2], cur[1::2])
         levels.append(cur)
     return tuple(levels)
 
 
 def merkelize(rows, width: int) -> MerkleTree:
-    """rows: pair of (height, width) arrays."""
+    """rows: (height, width) uint64 array."""
     return MerkleTree(levels=_build_levels(rows, width), width=width)
 
 
@@ -64,10 +58,23 @@ def get_proof(tree: MerkleTree, idx: int):
     """Sibling path for leaf `idx`: list of 4-element digests (bottom-up)."""
     path = []
     for level in tree.levels[:-1]:
-        sib = (idx ^ 1)
-        path.append(gl.to_u64_np((level[0][sib], level[1][sib])))
+        path.append(gl.to_u64_np(level[idx ^ 1]))
         idx >>= 1
     return path
+
+
+def get_proofs_np(tree: MerkleTree, indices):
+    """Sibling paths for many leaves with ONE host pull per level."""
+    levels_np = [gl.to_u64_np(lv) for lv in tree.levels[:-1]]
+    out = []
+    for idx in indices:
+        path = []
+        i = idx
+        for lv in levels_np:
+            path.append(lv[i ^ 1])
+            i >>= 1
+        out.append(path)
+    return out
 
 
 def verify_proof(root_np: np.ndarray, idx: int, leaf_row_np: np.ndarray,
@@ -105,9 +112,7 @@ def _host_permute(state):
         return [sum(s[i] * mds[i][j] for i in range(t)) % P for j in range(t)]
 
     for _ in range(half):
-        state = ark(state, r)
-        state = [pow(x, 7, P) for x in state]
-        state = m(state)
+        state = m([pow(x, 7, P) for x in ark(state, r)])
         r += 1
     for _ in range(pc.PARTIAL_ROUNDS):
         state = ark(state, r)
@@ -115,9 +120,7 @@ def _host_permute(state):
         state = m(state)
         r += 1
     for _ in range(half):
-        state = ark(state, r)
-        state = [pow(x, 7, P) for x in state]
-        state = m(state)
+        state = m([pow(x, 7, P) for x in ark(state, r)])
         r += 1
     return state
 

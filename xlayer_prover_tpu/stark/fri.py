@@ -1,0 +1,134 @@
+"""FRI commit/fold/query phases, device-vectorized.
+
+Behavioral parity with FRIProve::prove (src/starkpil/fri/friProve.cpp:5-190):
+per step si the current polynomial values (cubic-extension, on the shifted
+coset of size 2^bits) are folded by grouping indices with equal residue mod
+2^bits_next, size-nX INTT per group, un-shifting coefficients by powers of
+(shift * w^g)^-1, and evaluating at the step's transcript challenge; the
+un-folded layer is committed transposed so one Merkle leaf holds exactly the
+group a verifier needs.  Everything is batched: the per-group INTT is one
+(nX, n_groups*3) transform, the coefficient un-shift is an outer-product
+power table, the Horner evaluation is nX-1 vector muls.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gl, gl3
+from ..ops import merkle, ntt
+
+
+def fold(values, special_x, shift_inv: int, w_inv: int, bits: int, bits_next: int):
+    """One FRI fold: (2^bits,)-triple -> (2^bits_next,)-triple.
+
+    values: gl3 triple of (2^bits,) arrays (coset evaluations).
+    special_x: gl3 scalar triple.  shift_inv/w_inv: python ints for the
+    CURRENT domain (inverse coset shift, inverse 2^bits root).
+    """
+    n = 1 << bits
+    n_out = 1 << bits_next
+    n_x = n // n_out
+    # group g holds indices {g + j*n_out}: element [j, g] after reshape
+    cols = gl3.stack_cols(values)                     # (n, 3)
+    grouped = cols.reshape(n_x, n_out * 3)
+    coeffs = ntt.intt(grouped, bits - bits_next).reshape(n_x, n_out, 3)
+    # un-shift: coeff i of group g scaled by (shift_inv * w_inv^g)^i
+    #         = shift_inv^i * (w_inv^i)^g
+    P = gl.P
+    rows = [gl.powers_device(pow(w_inv, i, P), n_out, start=pow(shift_inv, i, P))
+            for i in range(n_x)]
+    scale = jnp.stack(rows, axis=0)                   # (n_x, n_out)
+    coeffs3 = tuple(gl.mul(coeffs[..., k], scale) for k in range(3))
+    # Horner at special_x over i (axis 0)
+    sx = tuple(c.reshape(()) for c in special_x)
+    acc = tuple(c[n_x - 1] for c in coeffs3)
+    for i in range(n_x - 2, -1, -1):
+        acc = gl3.mul(acc, sx)
+        acc = gl3.add(acc, tuple(c[i] for c in coeffs3))
+    return acc  # triple of (n_out,) arrays
+
+
+def transpose_for_tree(values, bits: int, bits_next: int):
+    """Merkle source for the NEXT step's tree: leaf g = its fold group.
+
+    values: gl3 triple of (2^bits,) arrays -> (2^bits_next, group*3) array,
+    matching FRIProve::getTransposed + MerkleTreeGL(nGroups, groupSize*3).
+    """
+    n = 1 << bits
+    n_groups = 1 << bits_next
+    group = n // n_groups
+    cols = gl3.stack_cols(values)  # (n, 3)
+    return cols.reshape(group, n_groups, 3).transpose(1, 0, 2).reshape(
+        n_groups, group * 3)
+
+
+def prove(transcript, fri_pol, air, trees_main_np, sources_main_np):
+    """FRI commit + query phases.
+
+    fri_pol: gl3 triple of (n_ext,) arrays.
+    trees_main_np/sources_main_np: the 5 main trees (MerkleTree) and their
+    numpy sources for query openings (cm1..cm4, const order).
+    Returns (fri_steps_data, final_pol_np) for the proof.
+    """
+    from .proof import FriStep, MerkleProofData
+
+    P = gl.P
+    steps = air.fri_steps
+    shift_inv = gl.host_inv(gl.SHIFT)
+    pol_bits = steps[0]
+
+    layer = fri_pol
+    fri_trees = [None]        # tree for step si >= 1
+    fri_sources = [None]
+    roots = [None]
+
+    for si in range(len(steps)):
+        special_x = transcript.get_field()
+        sx = gl3.from_ints(*special_x)
+        if si > 0:
+            w_inv = gl.host_inv(gl.host_w(pol_bits))
+            layer = fold(layer, sx, shift_inv, w_inv, pol_bits, steps[si])
+            reduction = pol_bits - steps[si]
+            for _ in range(reduction):
+                shift_inv = (shift_inv * shift_inv) % P
+            pol_bits = steps[si]
+        if si < len(steps) - 1:
+            src = transpose_for_tree(layer, steps[si], steps[si + 1])
+            tree = merkle.merkelize(src, src.shape[1])
+            fri_trees.append(tree)
+            fri_sources.append(gl.to_u64_np(src))
+            root = [int(v) for v in tree.root_np()]
+            roots.append(root)
+            transcript.put(root)
+        else:
+            final_np = gl3.to_u64_np(layer)  # (2^last, 3)
+            for row in final_np:
+                transcript.put([int(v) for v in row])
+
+    n_queries = air.n_queries
+    ys = transcript.get_permutations(n_queries, steps[0])
+
+    fri_steps_data = []
+    for si in range(len(steps)):
+        queries = []
+        for y in ys:
+            idx = y % (1 << steps[si])
+            if si == 0:
+                proofs = []
+                for tree, src in zip(trees_main_np, sources_main_np):
+                    proofs.append(_open(tree, src, idx))
+                queries.append(proofs)
+            else:
+                queries.append([_open(fri_trees[si], fri_sources[si], idx)])
+        fri_steps_data.append(FriStep(root=roots[si] if si > 0 else None,
+                                      queries=queries))
+    return fri_steps_data, [[int(v) for v in row] for row in final_np], ys
+
+
+def _open(tree, source_np, idx: int):
+    from .proof import MerkleProofData
+    path = merkle.get_proof(tree, idx)
+    return MerkleProofData(values=[int(v) for v in source_np[idx]],
+                           siblings=[[int(x) for x in s] for s in path])

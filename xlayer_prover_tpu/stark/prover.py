@@ -1,0 +1,374 @@
+"""STARK prover: the 5-round pipeline + FRI.
+
+Behavioral parity with Starks::genProof (src/starkpil/starks.cpp:9-404):
+  round 1  LDE + Merkle of cm1                       -> root1
+  round 2  draw u,defVal; plookup h1/h2 (cm2)        -> root2
+  round 3  draw gamma,beta; grand products Z (cm3)   -> root3
+  round 4  draw vc; quotient on ext domain, split    -> root4 (cm4)
+  round 5  draw xi; evals via INTT-weighted inner products; draw v1,v2;
+           DEEP/FRI polynomial; FRI fold/commit/query phases.
+
+TPU-first mapping: sections are (rows, cols) uint32-pair arrays; every stage
+is jnp (LDE = batched NTT columns, Merkle = scan levels, constraint eval =
+traced expression DAG, Z = associative prefix scan, evals = stride-sampled
+inner products).  Host work is only transcript scalars and proof assembly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields import gl, gl3
+from ..ops import merkle, ntt
+from . import air as air_mod
+from . import fri as fri_mod
+from . import lookup
+from .air import CH_BETA, CH_DEFVAL, CH_GAMMA, CH_U, CH_V1, CH_V2, CH_VC, CH_XI
+from .eval import EvalEnv
+from .proof import StarkProof
+from .transcript import Transcript
+
+P = gl.P
+
+
+@dataclasses.dataclass
+class Setup:
+    """Preprocessed data: constant polynomials, their LDE and tree (verkey)."""
+    air: object
+    const_n: tuple
+    const_ext: tuple
+    const_tree: object
+    const_ext_np: np.ndarray
+    verkey: list
+
+    @staticmethod
+    def build(air, const_np: np.ndarray) -> "Setup":
+        assert const_np.shape == (air.n, air.const_width)
+        const_n = gl.from_u64_np(const_np.astype(np.uint64))
+        if air.const_width:
+            const_ext = ntt.extend_pol(const_n, air.n_bits_ext)
+        else:
+            const_ext = gl.zeros((air.n_ext, 0))
+        tree = merkle.merkelize(const_ext, air.const_width)
+        return Setup(air=air, const_n=const_n, const_ext=const_ext,
+                     const_tree=tree,
+                     const_ext_np=gl.to_u64_np(const_ext),
+                     verkey=[int(v) for v in tree.root_np()])
+
+
+def _domain_x(n_bits: int, shift: int = 1):
+    return gl.powers_device(gl.host_w(n_bits), 1 << n_bits, start=shift)
+
+
+def _l1_values_n(n: int):
+    v = np.zeros(n, dtype=np.uint64)
+    v[0] = 1
+    return gl.from_u64_np(v)
+
+
+def _l1_values_ext(air):
+    """L1 on the ext coset: (x^N - 1) / (N (x - 1)), host-exact then tiled.
+
+    x^N depends only on k mod blowup (w_ext^N has order blowup), but x - 1
+    varies per point, so compute the full table host-side once per air.
+    """
+    n, n_ext = air.n, air.n_ext
+    w_ext = gl.host_w(air.n_bits_ext)
+    inv_n = gl.host_inv(n)
+    vals = np.empty(n_ext, dtype=np.uint64)
+    x = gl.SHIFT % P
+    xn = pow(gl.SHIFT, n, P)
+    wn = pow(w_ext, n, P)
+    cur_xn = xn
+    xs = x
+    for k in range(n_ext):
+        num = (cur_xn - 1) % P
+        den = (xs - 1) % P
+        vals[k] = (num * pow(den, P - 2, P) * inv_n) % P
+        cur_xn = (cur_xn * wn) % P
+        xs = (xs * w_ext) % P
+    return gl.from_u64_np(vals)
+
+
+def _zi_values_ext(air):
+    """1/(x^N - 1) on the ext coset; only blowup distinct values, tiled."""
+    blowup = air.n_ext // air.n
+    w_ext = gl.host_w(air.n_bits_ext)
+    wn = pow(w_ext, air.n, P)
+    xn = pow(gl.SHIFT, air.n, P)
+    distinct = []
+    cur = xn
+    for _ in range(blowup):
+        distinct.append(pow((cur - 1) % P, P - 2, P))
+        cur = (cur * wn) % P
+    tiled = np.tile(np.array(distinct, dtype=np.uint64), air.n)
+    return gl.from_u64_np(tiled)
+
+
+def _challenge_triple(t: Transcript):
+    return gl3.from_ints(*t.get_field())
+
+
+def _set_cols(section, start: int, triple):
+    """Write a gl3 triple of (N,) arrays into columns [start:start+3]."""
+    for k in range(3):
+        section = section.at[:, start + k].set(triple[k])
+    return section
+
+
+def _expr_to_np(env, expr):
+    """Evaluate an expr on the natural domain, return (N, dim) uint64."""
+    kind, v = env.eval(expr)
+    if kind == "base":
+        return gl.to_u64_np(v)[:, None]
+    return gl3.to_u64_np(v)
+
+
+def _exclusive_prefix_product(ratios):
+    """gl3 triple (N,) -> Z with Z[0]=1, Z[i]=prod_{j<i} ratios[j]."""
+    import jax
+    import jax.numpy as jnp
+
+    pre = jax.lax.associative_scan(gl3.mul, ratios, axis=0)
+    one = gl3.ones((1,))
+    return tuple(jnp.concatenate([one[k], pre[k][:-1]]) for k in range(3))
+
+
+def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
+    air = setup.air
+    n, n_ext = air.n, air.n_ext
+    blowup = n_ext // n
+    publics = [int(p) % P for p in publics]
+    assert len(publics) == air.n_publics
+    assert cm1_np.shape == (n, air.cm1_width)
+
+    transcript = Transcript()
+    transcript.put(setup.verkey)
+    transcript.put(publics)
+
+    x_n = _domain_x(air.n_bits)
+    x_ext = _domain_x(air.n_bits_ext, shift=gl.SHIFT)
+    l1_n = _l1_values_n(n)
+    l1_ext = _l1_values_ext(air)
+    zi_ext = _zi_values_ext(air)
+
+    publics_dev = [gl.full((), p) for p in publics]
+    challenges = {}
+
+    # ---- round 1: cm1 -------------------------------------------------
+    cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
+    cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)
+    tree1 = merkle.merkelize(cm1_ext, air.cm1_width)
+    root1 = [int(v) for v in tree1.root_np()]
+    transcript.put(root1)
+
+    sections_n = {"const": setup.const_n, "cm1": cm1_n}
+    sections_ext = {"const": setup.const_ext, "cm1": cm1_ext}
+
+    # ---- round 2: plookup h1/h2 --------------------------------------
+    challenges[CH_U] = _challenge_triple(transcript)
+    challenges[CH_DEFVAL] = _challenge_triple(transcript)
+
+    def env_n():
+        return EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
+
+    cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
+    plookup_ft = []  # cache f/t numpy for debugging
+    e = env_n()
+    for pu in air.plookups:
+        f_np = _expr_to_np(e, pu.f_exp)
+        t_np = _expr_to_np(e, pu.t_exp)
+        h1, h2 = lookup.calculate_h1h2(f_np, t_np)
+        d = f_np.shape[1]
+        cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
+        cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
+        plookup_ft.append((f_np, t_np))
+
+    cm2_n = gl.from_u64_np(cm2_np)
+    if air.cm2_width:
+        cm2_ext = ntt.extend_pol(cm2_n, air.n_bits_ext)
+    else:
+        cm2_ext = gl.zeros((n_ext, 0))
+    tree2 = merkle.merkelize(cm2_ext, air.cm2_width)
+    root2 = [int(v) for v in tree2.root_np()]
+    transcript.put(root2)
+    sections_n["cm2"] = cm2_n
+    sections_ext["cm2"] = cm2_ext
+
+    # ---- round 3: grand products Z -----------------------------------
+    challenges[CH_GAMMA] = _challenge_triple(transcript)
+    challenges[CH_BETA] = _challenge_triple(transcript)
+    e = env_n()
+    gamma = air_mod.Challenge(CH_GAMMA)
+    beta = air_mod.Challenge(CH_BETA)
+    one_plus_beta = beta + 1
+    gb = gamma * one_plus_beta
+
+    z_triples = []
+    for pu in air.plookups:
+        f, t = pu.f_exp, pu.t_exp
+        h1 = pu.h1_col
+        h2 = pu.h2_col
+        num = one_plus_beta * (gamma + f) * (gb + t + beta * air_mod._shift_expr(t))
+        den = (gb + h1 + beta * h2) * (gb + h2 + beta * h1.shifted())
+        z_triples.append((pu.z_col, e.eval_ext(num), e.eval_ext(den)))
+    for pe in air.permutations:
+        num = pe.f_exp + gamma
+        den = pe.t_exp + gamma
+        z_triples.append((pe.z_col, e.eval_ext(num), e.eval_ext(den)))
+    for ci in air.connections:
+        num = air_mod.Const(1)
+        den = air_mod.Const(1)
+        xx = air_mod.XSymbol()
+        for c, s, k in zip(ci.cols, ci.s_cols, ci.k_coeffs):
+            num = num * (c + beta * k * xx + gamma)
+            den = den * (c + beta * s + gamma)
+        z_triples.append((ci.z_col, e.eval_ext(num), e.eval_ext(den)))
+
+    cm3_n = gl.zeros((n, air.cm3_width))
+    for (zcol, num_v, den_v) in z_triples:
+        ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
+        z = _exclusive_prefix_product(ratios)
+        cm3_n = _set_cols(cm3_n, zcol.index, z)
+
+    if air.cm3_width:
+        cm3_ext = ntt.extend_pol(cm3_n, air.n_bits_ext)
+    else:
+        cm3_ext = gl.zeros((n_ext, 0))
+    tree3 = merkle.merkelize(cm3_ext, air.cm3_width)
+    root3 = [int(v) for v in tree3.root_np()]
+    transcript.put(root3)
+    sections_n["cm3"] = cm3_n
+    sections_ext["cm3"] = cm3_ext
+
+    # ---- round 4: quotient -------------------------------------------
+    challenges[CH_VC] = _challenge_triple(transcript)
+    env_ext = EvalEnv(sections_ext, challenges, publics_dev, x_ext, l1_ext,
+                      blowup)
+    constraints = air_mod.all_constraints(air)
+    vc = challenges[CH_VC]
+    acc = None
+    for c in constraints:
+        val = env_ext.eval_ext(c)
+        acc = val if acc is None else gl3.add(gl3.mul(acc, vc), val)
+    q_vals = tuple(gl.mul(c, zi_ext) for c in acc)  # C * Zi (componentwise)
+
+    # split into q_deg chunks of degree N on the coset
+    q_cols = gl3.stack_cols(q_vals)                   # (n_ext, 3)
+    q_coeffs = ntt.intt(q_cols, air.n_bits_ext)       # coset coeffs c'_k
+    shift_in = pow(gl.host_inv(gl.SHIFT), n, P)
+    import jax.numpy as jnp
+    cm4_parts = []
+    cur_s = 1
+    for p_i in range(air.q_deg):
+        chunk = gl.mul_const(q_coeffs[p_i * n:(p_i + 1) * n], cur_s)
+        cur_s = (cur_s * shift_in) % P
+        chunk = jnp.pad(chunk, ((0, n_ext - n), (0, 0)))
+        cm4_parts.append(ntt.ntt(chunk, air.n_bits_ext))  # (n_ext, 3)
+    cm4_ext = jnp.concatenate(cm4_parts, axis=1)
+    tree4 = merkle.merkelize(cm4_ext, air.cm4_width)
+    root4 = [int(v) for v in tree4.root_np()]
+    transcript.put(root4)
+    sections_ext["cm4"] = cm4_ext
+
+    # ---- round 5: evals + DEEP/FRI polynomial ------------------------
+    challenges[CH_XI] = _challenge_triple(transcript)
+    xi_ints = [int(v) for v in gl3.to_u64_np(challenges[CH_XI]).reshape(3)]
+    w_n = gl.host_w(air.n_bits)
+    shift_inv = gl.host_inv(gl.SHIFT)
+
+    xis = _host3_scale(xi_ints, shift_inv)                  # xi / shift
+    wxis = _host3_scale(xi_ints, (w_n * shift_inv) % P)     # xi*w / shift
+
+    lev = _lagrange_weights(xis, air.n_bits)    # gl3 triple (N,)
+    lpev = _lagrange_weights(wxis, air.n_bits)
+
+    evals = []
+    for entry in air.ev_map:
+        sec = sections_ext[entry.section] if entry.section != "const" \
+            else setup.const_ext
+        samp = sec[::blowup]                      # rows k << extendBits
+        weights = lpev if entry.prime else lev
+        if entry.dim == 1:
+            col = samp[:, entry.index]
+            prod = tuple(gl.mul(w, col) for w in weights)
+        else:
+            col3 = tuple(samp[:, entry.index + k] for k in range(3))
+            prod = gl3.mul(weights, col3)
+        ev = gl3.sum_axis(prod, axis=0)
+        evals.append([int(v) for v in gl3.to_u64_np(ev).reshape(3)])
+
+    for ev in evals:
+        transcript.put(ev)
+    challenges[CH_V1] = _challenge_triple(transcript)
+    challenges[CH_V2] = _challenge_triple(transcript)
+    v1_ints = [int(v) for v in gl3.to_u64_np(challenges[CH_V1]).reshape(3)]
+
+    # xDivXSubXi / xDivXSubWXi on the extended domain
+    wxi_ints = _host3_scale(xi_ints, w_n)
+    x_div_x_sub_xi = _x_div_x_sub(x_ext, xi_ints)
+    x_div_x_sub_wxi = _x_div_x_sub(x_ext, wxi_ints)
+
+    acc_np_ = gl3.zeros((n_ext,))
+    acc_p_ = gl3.zeros((n_ext,))
+    v1_pow = [1, 0, 0]
+    for i, entry in enumerate(air.ev_map):
+        sec = sections_ext[entry.section] if entry.section != "const" \
+            else setup.const_ext
+        if entry.dim == 1:
+            colv = gl3.from_base(sec[:, entry.index])
+        else:
+            colv = tuple(sec[:, entry.index + k] for k in range(3))
+        ev3 = gl3.from_ints(*evals[i])
+        term = gl3.sub(colv, ev3)
+        term = gl3.mul(term, gl3.from_ints(*v1_pow))
+        if entry.prime:
+            acc_p_ = gl3.add(acc_p_, term)
+        else:
+            acc_np_ = gl3.add(acc_np_, term)
+        v1_pow = gl3._host_mul3(v1_pow, v1_ints)
+
+    fri_pol = gl3.add(gl3.mul(acc_np_, x_div_x_sub_xi),
+                      gl3.mul(gl3.mul(acc_p_, x_div_x_sub_wxi),
+                              challenges[CH_V2]))
+
+    # ---- FRI ----------------------------------------------------------
+    trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
+    sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
+                    gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
+                    setup.const_ext_np]
+    fri_steps_data, final_pol, _ys = fri_mod.prove(
+        transcript, fri_pol, air, trees_main, sources_main)
+
+    return StarkProof(roots=[root1, root2, root3, root4],
+                      evals=evals,
+                      fri_steps=fri_steps_data,
+                      final_pol=final_pol,
+                      publics=publics)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _host3_scale(a3, s: int):
+    return [(v * s) % P for v in a3]
+
+
+def _lagrange_weights(point3, n_bits: int):
+    """INTT of the geometric series [point^k]_{k<N} (reference LEv/LpEv)."""
+    n = 1 << n_bits
+    series = gl3.powers_device(gl3.from_ints(*point3), n)
+    cols = gl3.stack_cols(series)       # (n, 3)
+    coeffs = ntt.intt(cols, n_bits)
+    return gl3.from_cols(coeffs)
+
+
+def _x_div_x_sub(x_ext, point3):
+    """x / (x - point) over the extended domain (batch-inverted)."""
+    pt = gl3.from_ints(*point3)
+    diff = gl3.sub(gl3.from_base(x_ext), pt)
+    inv = gl3.batch_inv(diff)
+    return gl3.mul_base(inv, x_ext)
