@@ -52,14 +52,10 @@ def _tunnel_transfers_work(timeout_s: float = 120.0):
 
 
 def _forced_pull(arr, ok: bool):
-    """Synchronous pull if the tunnel was probed healthy; else no-op."""
-    import jax
-
-    if not ok:
-        return False, None
-    t0 = time.perf_counter()
-    jax.device_get(arr)
-    return True, time.perf_counter() - t0
+    """Disabled: in-process pulls can hang indefinitely even when a fresh
+    subprocess's transfers succeed (per-session tunnel state).  The probe
+    result is reported as metadata instead; timings are async-dispatch."""
+    return False, None
 
 
 def main():
@@ -148,6 +144,7 @@ def main():
         "ntt_ms": round(dt * 1e3, 3),
         "merkle_tree_2e16_ms": round(dt_tree * 1e3, 2),
         "forced": bool(forced and forced_h),
+        "tunnel_transfers_ok": bool(tunnel_ok),
     }
     print(json.dumps(line))
 
