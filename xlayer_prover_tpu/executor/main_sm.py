@@ -1,0 +1,548 @@
+"""Main state machine interpreter (zkASM ROM executor).
+
+Host-side equivalent of the reference fork_9 MainExecutor
+(src/main_sm/fork_9/main/main_executor.cpp): per step, read the RomLine at
+zkPC, build the op accumulator from input selectors + CONST/CONSTL + free
+input, execute the line's operations, apply setters and jumps.
+
+Faithful machine model: the 256-bit registers (A..E, SR) and the op
+accumulator are 8 Goldilocks field elements (limbs), exactly as the
+reference commits them to the Main pols — a "negative" constant is p-c in
+limb 0, JMPN tests op0 against the 32-bit negative window
+(main_executor.cpp:5072-5125), and fea->scalar conversions require limbs
+< 2^32 like fea2scalar (src/utils/scalar.hpp:74+).  Address spaces use the
+STACK/MEM/CTX offsets of main_executor.cpp:46-48.
+
+Round-1 scope: the machine core + command evaluator for the expression
+subset; the ~60 eval_command function calls register through
+``MainExecutor.functions`` and raise if the ROM calls an unimplemented one.
+Secondary-SM action vectors accumulate in ``Required``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+from ..fields import gl
+from ..ops.keccak import keccak256
+from ..state.hashdb import HashDB
+from ..utils.zkresult import ZkError, ZkResult
+from .rom import Rom, RomLine
+
+P = gl.P
+MASK256 = (1 << 256) - 1
+
+STACK_OFFSET = 0x10000
+MEM_OFFSET = 0x20000
+CTX_OFFSET = 0x40000
+
+FR_FIRST_32_NEGATIVE = P - (1 << 32)
+FR_LAST_32_POSITIVE = (1 << 32) - 1
+
+ZERO8 = [0] * 8
+
+
+def fea_to_scalar(fea8) -> int:
+    """8 field limbs -> 256-bit scalar; limbs must be < 2^32 (fea2scalar)."""
+    v = 0
+    for i in range(8):
+        limb = int(fea8[i])
+        if limb >= (1 << 32):
+            raise ZkError(ZkResult.PROVER_ERROR,
+                          f"fea2scalar: limb {i} too large ({limb:#x})")
+        v |= limb << (32 * i)
+    return v
+
+
+def scalar_to_fea(v: int) -> List[int]:
+    v &= MASK256
+    return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
+
+
+def fe_to_s32(v: int) -> int:
+    """Field element -> signed 32-bit (reference fr.toS32)."""
+    if v <= 0x7FFFFFFF:
+        return v
+    if v >= P - 0x80000000:
+        return v - P
+    raise ZkError(ZkResult.PROVER_ERROR, f"toS32 out of range: {v:#x}")
+
+
+@dataclasses.dataclass
+class Registers:
+    A: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    B: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    C: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    D: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    E: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    SR: list = dataclasses.field(default_factory=lambda: [0] * 8)
+    CTX: int = 0
+    SP: int = 0
+    PC: int = 0
+    GAS: int = 0
+    RR: int = 0
+    HASHPOS: int = 0
+    RCX: int = 0
+    zkPC: int = 0
+
+
+@dataclasses.dataclass
+class Counters:
+    steps: int = 0
+    arith: int = 0
+    binary: int = 0
+    keccak_f: int = 0
+    sha256_f: int = 0
+    mem_align: int = 0
+    padding_pg: int = 0
+    poseidon_g: int = 0
+
+
+@dataclasses.dataclass
+class Required:
+    """Action vectors for the secondary-SM trace expanders
+    (reference MainExecRequired, main_exec_required.hpp:27-48)."""
+    arith: list = dataclasses.field(default_factory=list)
+    binary: list = dataclasses.field(default_factory=list)
+    memory: list = dataclasses.field(default_factory=list)
+    mem_align: list = dataclasses.field(default_factory=list)
+    storage: list = dataclasses.field(default_factory=list)
+
+
+class HashState:
+    def __init__(self):
+        self.data = bytearray()
+        self.len = None
+        self.digest = None
+
+
+class Context:
+    def __init__(self, rom: Rom, hashdb: HashDB, batch_uuid: str = "batch",
+                 input_vars: Optional[dict] = None):
+        self.rom = rom
+        self.hashdb = hashdb
+        self.batch_uuid = batch_uuid
+        self.regs = Registers()
+        self.mem: Dict[int, List[int]] = {}
+        self.vars: Dict[str, int] = {}
+        self.counters = Counters()
+        self.required = Required()
+        self.hash_k: Dict[int, HashState] = {}
+        self.hash_p: Dict[int, HashState] = {}
+        self.hash_s: Dict[int, HashState] = {}
+        self.input_vars = input_vars or {}
+        self.carry = 0
+        self.done = False
+
+
+class CommandError(ZkError):
+    def __init__(self, msg):
+        super().__init__(ZkResult.PROVER_ERROR, msg)
+
+
+class MainExecutor:
+    """The machine. `functions` is the freeInTag function-call registry."""
+
+    def __init__(self, rom: Rom, max_steps: int = 1 << 23):
+        self.rom = rom
+        self.max_steps = max_steps
+        self.functions: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # command-tree evaluation (reference eval_command.cpp expression ops)
+    # ------------------------------------------------------------------
+    def eval_command(self, ctx: Context, cmd: dict) -> int:
+        op = cmd.get("op")
+        if op == "number":
+            return int(cmd["num"])
+        if op == "getReg":
+            r = getattr(ctx.regs, cmd["regName"])
+            return fea_to_scalar(r) if isinstance(r, list) else int(r)
+        if op == "declareVar":
+            ctx.vars[cmd["varName"]] = 0
+            return 0
+        if op == "setVar":
+            name = cmd["values"][0].get("varName")
+            val = self.eval_command(ctx, cmd["values"][1])
+            ctx.vars[name] = val
+            return val
+        if op == "getVar":
+            name = cmd["varName"]
+            if name in ctx.vars:
+                return ctx.vars[name]
+            if name in ctx.input_vars:
+                return int(ctx.input_vars[name])
+            raise CommandError(f"undefined var {name}")
+        if op in ("add", "sub", "mul", "div", "mod", "or", "and", "xor",
+                  "shl", "shr", "lt", "gt", "eq", "ne", "not"):
+            vals = [self.eval_command(ctx, v) for v in cmd["values"]]
+            return self._binop(op, vals)
+        if op == "if":
+            cond = self.eval_command(ctx, cmd["values"][0])
+            return self.eval_command(ctx, cmd["values"][1]) if cond else \
+                self.eval_command(ctx, cmd["values"][2])
+        if op == "getMemValue":
+            return fea_to_scalar(ctx.mem.get(int(cmd["offset"]), ZERO8))
+        if op == "functionCall":
+            name = cmd["funcName"]
+            fn = self.functions.get(name)
+            if fn is None:
+                raise CommandError(f"unimplemented ROM function {name}")
+            params = [self.eval_command(ctx, p) for p in cmd.get("params", [])]
+            return fn(ctx, *params)
+        raise CommandError(f"unknown command op {op}")
+
+    @staticmethod
+    def _binop(op, vals):
+        a = vals[0]
+        b = vals[1] if len(vals) > 1 else 0
+        if op == "add":
+            return (a + b) & MASK256
+        if op == "sub":
+            return (a - b) & MASK256
+        if op == "mul":
+            return (a * b) & MASK256
+        if op == "div":
+            return a // b if b else 0
+        if op == "mod":
+            return a % b if b else 0
+        if op == "or":
+            return a | b
+        if op == "and":
+            return a & b
+        if op == "xor":
+            return a ^ b
+        if op == "shl":
+            return (a << b) & MASK256
+        if op == "shr":
+            return a >> b
+        if op == "lt":
+            return int(a < b)
+        if op == "gt":
+            return int(a > b)
+        if op == "eq":
+            return int(a == b)
+        if op == "ne":
+            return int(a != b)
+        if op == "not":
+            return int(not a)
+        raise CommandError(op)
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+    def execute(self, ctx: Context, start_label: str = "start",
+                stop_label: Optional[str] = "finalizeExecution"):
+        regs = ctx.regs
+        regs.zkPC = self.rom.label(start_label) if start_label else 0
+        stop_pc = self.rom.labels.get(stop_label) if stop_label else None
+
+        for step in range(self.max_steps):
+            if ctx.done:
+                break
+            if stop_pc is not None and regs.zkPC == stop_pc:
+                ctx.done = True
+                break
+            line = self.rom.program[regs.zkPC]
+            ctx.counters.steps += 1
+            self.execute_line(ctx, line, step)
+        else:
+            raise ZkError(ZkResult.OUT_OF_COUNTERS_STEP, "max steps reached")
+        return ctx
+
+    def _addr(self, ctx: Context, line: RomLine) -> int:
+        regs = ctx.regs
+        addr_rel = 0
+        if line.flag("ind"):
+            addr_rel += fe_to_s32(regs.E[0])
+        if line.flag("indRR"):
+            addr_rel += fe_to_s32(regs.RR)
+        addr_rel += line.offset
+        if line.flag("isStack"):
+            addr_rel += regs.SP
+        if addr_rel < 0:
+            raise ZkError(ZkResult.PROVER_ERROR, "addrRel < 0")
+        addr = addr_rel
+        if line.flag("useCTX"):
+            addr += regs.CTX * CTX_OFFSET
+        if line.flag("isStack"):
+            addr += STACK_OFFSET
+        if line.flag("isMem"):
+            addr += MEM_OFFSET
+        return addr
+
+    def execute_line(self, ctx: Context, line: RomLine, step: int):
+        regs = ctx.regs
+        for cmd in line.cmd_before:
+            self.eval_command(ctx, cmd)
+
+        # ---- op accumulation: 8 field limbs ---------------------------
+        op = [0] * 8
+        sel = line.ins
+
+        def add_vec(coeff: int, vec8):
+            c = coeff % P
+            for i in range(8):
+                op[i] = (op[i] + c * vec8[i]) % P
+
+        def add_scalar0(coeff: int, v):
+            op[0] = (op[0] + (coeff % P) * (v % P)) % P
+
+        for name, reg in (("inA", regs.A), ("inB", regs.B), ("inC", regs.C),
+                          ("inD", regs.D), ("inE", regs.E), ("inSR", regs.SR)):
+            if name in sel:
+                add_vec(sel[name], reg)
+        for name, v in (("inCTX", regs.CTX), ("inSP", regs.SP),
+                        ("inPC", regs.PC), ("inGAS", regs.GAS),
+                        ("inSTEP", step), ("inRR", regs.RR),
+                        ("inHASHPOS", regs.HASHPOS), ("inRCX", regs.RCX),
+                        ("inCntArith", ctx.counters.arith),
+                        ("inCntBinary", ctx.counters.binary),
+                        ("inCntKeccakF", ctx.counters.keccak_f),
+                        ("inCntSha256F", ctx.counters.sha256_f),
+                        ("inCntMemAlign", ctx.counters.mem_align),
+                        ("inCntPaddingPG", ctx.counters.padding_pg),
+                        ("inCntPoseidonG", ctx.counters.poseidon_g)):
+            if name in sel:
+                add_scalar0(sel[name], v)
+        if "inROTL_C" in sel:
+            rot = [regs.C[7]] + regs.C[0:7]
+            add_vec(sel["inROTL_C"], rot)
+
+        if line.has_const:
+            c = line.const
+            op[0] = (op[0] + (c % P)) % P
+        if line.has_constl:
+            for i, limb in enumerate(scalar_to_fea(line.constl)):
+                op[i] = (op[i] + limb) % P
+
+        # free input
+        fi8 = None
+        if line.free_in_tag is not None:
+            if not line.free_in_tag or not line.free_in_tag.get("op"):
+                fi8 = self._free_in_default(ctx, line)
+            else:
+                fi8 = scalar_to_fea(self.eval_command(ctx, line.free_in_tag))
+            if sel.get("inFREE"):
+                add_vec(sel["inFREE"], fi8)
+            if sel.get("inFREE0"):
+                add_scalar0(sel["inFREE0"], fi8[0])
+
+        # ---- operations ----------------------------------------------
+        need_addr = (line.flag("mOp") or line.flag("JMP") or line.flag("JMPN")
+                     or line.flag("JMPC") or line.flag("JMPZ")
+                     or line.flag("call")
+                     or any(line.flag(p + s) for p in ("hashK", "hashP", "hashS")
+                            for s in ("", "1", "Len", "Digest")))
+        addr = self._addr(ctx, line) if need_addr else 0
+
+        if line.flag("mOp"):
+            if line.flag("mWR"):
+                ctx.mem[addr] = list(op)
+                ctx.required.memory.append(("W", addr, list(op), step))
+            else:
+                val = ctx.mem.get(addr, ZERO8)
+                ctx.required.memory.append(("R", addr, list(val), step))
+                if op != list(val):
+                    raise ZkError(ZkResult.PROVER_ERROR,
+                                  f"memory read mismatch at zkPC={line.zkpc}")
+
+        if line.flag("assert"):
+            if regs.A != op:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"assert fails at zkPC={line.zkpc}: "
+                              f"[{line.line_str.strip()}]")
+
+        if line.flag("bin"):
+            self._do_binary(ctx, line, op)
+        if line.flag("arith"):
+            self._do_arith(ctx, line, op)
+        if line.flag("sRD") or line.flag("sWR"):
+            self._do_storage(ctx, line, op)
+        for prefix, table in (("hashK", ctx.hash_k), ("hashP", ctx.hash_p),
+                              ("hashS", ctx.hash_s)):
+            if any(line.flag(prefix + s) for s in ("", "1", "Len", "Digest")):
+                self._do_hash(ctx, line, prefix, table, op, addr)
+                break
+
+        # ---- setters --------------------------------------------------
+        for s in line.sets:
+            name = s[3:]
+            if name in ("A", "B", "C", "D", "E", "SR"):
+                setattr(regs, name, list(op))
+            else:
+                setattr(regs, name, op[0])
+
+        # ---- control flow --------------------------------------------
+        next_pc = regs.zkPC + 1
+        dest = line.jmp_addr if line.flag("useJmpAddr") else addr
+        if line.flag("JMPN"):
+            v = op[0]
+            if v >= FR_FIRST_32_NEGATIVE:
+                next_pc = dest
+            elif v <= FR_LAST_32_POSITIVE:
+                next_pc = line.else_addr if line.flag("useElseAddr") \
+                    else regs.zkPC + 1
+            else:
+                raise ZkError(ZkResult.PROVER_ERROR, "JMPN invalid S33 value")
+        elif line.flag("JMPC"):
+            if ctx.carry:
+                next_pc = dest
+            else:
+                next_pc = line.else_addr if line.flag("useElseAddr") \
+                    else regs.zkPC + 1
+        elif line.flag("JMPZ"):
+            if op[0] == 0:
+                next_pc = dest
+            else:
+                next_pc = line.else_addr if line.flag("useElseAddr") \
+                    else regs.zkPC + 1
+        elif line.flag("JMP"):
+            next_pc = dest
+        elif line.flag("call"):
+            regs.RR = regs.zkPC + 1
+            next_pc = dest
+        elif line.flag("return"):
+            next_pc = regs.RR
+
+        if line.flag("repeat") and regs.RCX != 0:
+            regs.RCX = (regs.RCX - 1) % P
+            if regs.RCX != 0:
+                next_pc = regs.zkPC
+
+        regs.zkPC = next_pc
+
+        for cmd in line.cmd_after:
+            self.eval_command(ctx, cmd)
+
+    # ------------------------------------------------------------------
+    def _free_in_default(self, ctx, line):
+        """Free input for untagged reads (memory etc.)."""
+        if line.flag("mOp") and not line.flag("mWR"):
+            return list(ctx.mem.get(self._addr(ctx, line), ZERO8))
+        return list(ZERO8)
+
+    def _do_binary(self, ctx: Context, line: RomLine, op):
+        regs = ctx.regs
+        a = fea_to_scalar(regs.A)
+        b = fea_to_scalar(regs.B)
+        res = fea_to_scalar(op)
+        opcode = line.bin_opcode
+        ctx.counters.binary += 1
+        carry = 0
+        if opcode == 0:      # ADD
+            expected = (a + b) & MASK256
+            carry = int(a + b > MASK256)
+        elif opcode == 1:    # SUB
+            expected = (a - b) & MASK256
+            carry = int(a < b)
+        elif opcode == 2:    # LT
+            expected = int(a < b)
+            carry = expected
+        elif opcode == 3:    # SLT
+            sa = a - (1 << 256) if a >> 255 else a
+            sb = b - (1 << 256) if b >> 255 else b
+            expected = int(sa < sb)
+            carry = expected
+        elif opcode == 4:    # EQ
+            expected = int(a == b)
+            carry = expected
+        elif opcode == 5:    # AND
+            expected = a & b
+            carry = int(expected != 0)
+        elif opcode == 6:    # OR
+            expected = a | b
+        elif opcode == 7:    # XOR
+            expected = a ^ b
+        elif opcode == 8:    # LT4 (4 x 64-bit lanes less-than)
+            expected = int(all(((a >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
+                               < ((b >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
+                               for i in range(4)))
+            carry = expected
+        else:
+            raise ZkError(ZkResult.PROVER_ERROR, f"bad binOpcode {opcode}")
+        if res != expected:
+            raise ZkError(ZkResult.PROVER_ERROR,
+                          f"binary check fails zkPC={line.zkpc}")
+        ctx.carry = carry
+        ctx.required.binary.append((opcode, a, b, res, carry))
+
+    def _do_arith(self, ctx: Context, line: RomLine, op):
+        """arithEq0: A*B + C = D*2^256 + op (the base 256-bit mul-add)."""
+        regs = ctx.regs
+        ctx.counters.arith += 1
+        if line.flag("arithEq0") or not any(
+                line.flag(f"arithEq{i}") for i in range(6)):
+            a = fea_to_scalar(regs.A)
+            b = fea_to_scalar(regs.B)
+            c = fea_to_scalar(regs.C)
+            d = fea_to_scalar(regs.D)
+            res = fea_to_scalar(op)
+            if a * b + c != (d << 256) + res:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"arithEq0 fails zkPC={line.zkpc}")
+            ctx.required.arith.append((0, a, b, c, d, res))
+        else:
+            # EC equations (arithEq1..5) land with the Arith SM work
+            raise ZkError(ZkResult.PROVER_ERROR,
+                          "arith EC equations not implemented yet")
+
+    def _do_storage(self, ctx: Context, line: RomLine, op):
+        regs = ctx.regs
+        key = tuple(regs.C[0:4])
+        old_root = tuple(regs.SR[0:4])
+        if line.flag("sWR"):
+            value = fea_to_scalar(regs.D)
+            res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
+            regs.SR = list(res.new_root) + [0, 0, 0, 0]
+            ctx.required.storage.append(("SET", key, value, res.new_root))
+            ctx.counters.poseidon_g += 1
+        else:
+            res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
+            if fea_to_scalar(op) != res.value:
+                raise ZkError(ZkResult.PROVER_ERROR, "sRD value mismatch")
+            ctx.required.storage.append(("GET", key, res.value))
+            ctx.counters.poseidon_g += 1
+
+    def _do_hash(self, ctx: Context, line: RomLine, prefix: str, table,
+                 op, addr: int):
+        regs = ctx.regs
+        st = table.setdefault(addr, HashState())
+        if line.flag(prefix) or line.flag(prefix + "1"):
+            nbytes = 1 if line.flag(prefix + "1") else \
+                fe_to_s32(regs.D[0])
+            if not (1 <= nbytes <= 32):
+                raise ZkError(ZkResult.PROVER_ERROR, "hash size out of range")
+            data = fea_to_scalar(op).to_bytes(32, "big")[-nbytes:]
+            st.data += data
+            regs.HASHPOS = (regs.HASHPOS + nbytes) % P
+            if prefix == "hashK":
+                ctx.counters.keccak_f += 1
+            elif prefix == "hashS":
+                ctx.counters.sha256_f += 1
+            else:
+                ctx.counters.padding_pg += 1
+        elif line.flag(prefix + "Len"):
+            st.len = op[0]
+        elif line.flag(prefix + "Digest"):
+            if st.digest is None:
+                if prefix == "hashK":
+                    st.digest = int.from_bytes(keccak256(bytes(st.data)), "big")
+                elif prefix == "hashS":
+                    import hashlib
+                    st.digest = int.from_bytes(
+                        hashlib.sha256(bytes(st.data)).digest(), "big")
+                else:
+                    from ..state.smt import hash_node
+                    # Poseidon linear hash over 7-byte chunks (hashP digest)
+                    acc = [0, 0, 0, 0]
+                    data = bytes(st.data)
+                    for i in range(0, len(data), 32):
+                        chunk = data[i:i + 32].ljust(32, b"\x00")
+                        limbs = scalar_to_fea(int.from_bytes(chunk, "big"))
+                        acc = list(hash_node(limbs, tuple(acc)))
+                    st.digest = fea_to_scalar(acc + [0, 0, 0, 0])
+            if fea_to_scalar(op) != st.digest:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"{prefix}Digest mismatch at zkPC={line.zkpc}")

@@ -1,0 +1,125 @@
+"""HashDB facade + per-batch StateManager overlay.
+
+Mirrors the reference's HashDBInterface surface (the 20-method interface at
+src/service/hashdb/hashdb_interface.hpp:16-44 — set/get/setProgram/
+getProgram/flush/consolidate semantics) and the StateManager's
+batch -> block -> tx substate overlay with rollback on revert
+(src/hashdb/state_manager.hpp:16-70), re-expressed in idiomatic host Python:
+uncommitted writes live in an overlay node store; consolidation writes
+through to the backing database; reverts discard substates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from .database import MemoryDB
+from .smt import Smt, SmtGetResult, SmtSetResult, ZERO4
+
+Key = Tuple[int, int, int, int]
+
+
+class _OverlayDB:
+    """Node store view: reads hit the overlay first, then the base."""
+
+    def __init__(self, base):
+        self.base = base
+        self.overlay: Dict[Key, List[int]] = {}
+        self.programs: Dict[Key, bytes] = {}
+
+    def read(self, key: Key):
+        v = self.overlay.get(tuple(key))
+        if v is not None:
+            return v
+        return self.base.read(key)
+
+    def write(self, key: Key, value: List[int]):
+        self.overlay[tuple(key)] = [int(v) for v in value]
+
+    def get_program(self, key: Key):
+        v = self.programs.get(tuple(key))
+        if v is not None:
+            return v
+        return self.base.get_program(key)
+
+    def set_program(self, key: Key, data: bytes):
+        self.programs[tuple(key)] = bytes(data)
+
+
+@dataclasses.dataclass
+class _TxSubstate:
+    nodes: Dict[Key, List[int]]
+    programs: Dict[Key, bytes]
+    old_root: tuple
+
+
+class HashDB:
+    """Local HashDB: SMT + database + per-batch overlay state manager.
+
+    Usage: begin_batch(uuid) -> set/get (writes go to the batch overlay) ->
+    semi_flush/consolidate(uuid) persists, or discard(uuid) rolls back.
+    """
+
+    def __init__(self, db=None):
+        self.db = db if db is not None else MemoryDB()
+        self.batches: Dict[str, _OverlayDB] = {}
+        self.tx_marks: Dict[str, List[_TxSubstate]] = {}
+
+    def _store(self, batch_uuid: Optional[str]):
+        if batch_uuid is None:
+            return self.db
+        if batch_uuid not in self.batches:
+            self.batches[batch_uuid] = _OverlayDB(self.db)
+            self.tx_marks[batch_uuid] = []
+        return self.batches[batch_uuid]
+
+    # -- SMT state ------------------------------------------------------
+    def set(self, batch_uuid: Optional[str], old_root, key,
+            value: int) -> SmtSetResult:
+        store = self._store(batch_uuid)
+        return Smt(store).set(old_root, key, value)
+
+    def get(self, batch_uuid: Optional[str], root, key) -> SmtGetResult:
+        store = self._store(batch_uuid)
+        return Smt(store).get(root, key)
+
+    # -- program (bytecode) store --------------------------------------
+    def set_program(self, batch_uuid: Optional[str], key, data: bytes):
+        self._store(batch_uuid).set_program(tuple(int(v) for v in key), data)
+
+    def get_program(self, batch_uuid: Optional[str], key) -> Optional[bytes]:
+        return self._store(batch_uuid).get_program(tuple(int(v) for v in key))
+
+    # -- tx/batch lifecycle --------------------------------------------
+    def begin_tx(self, batch_uuid: str, current_root):
+        """Mark a tx boundary for possible rollback."""
+        store = self._store(batch_uuid)
+        self.tx_marks[batch_uuid].append(_TxSubstate(
+            nodes=dict(store.overlay), programs=dict(store.programs),
+            old_root=tuple(int(v) for v in current_root)))
+
+    def revert_tx(self, batch_uuid: str):
+        """Discard writes since the last begin_tx; returns the rolled-back root."""
+        store = self._store(batch_uuid)
+        mark = self.tx_marks[batch_uuid].pop()
+        store.overlay = mark.nodes
+        store.programs = mark.programs
+        return mark.old_root
+
+    def consolidate(self, batch_uuid: str):
+        """Write the batch overlay through to the backing database."""
+        store = self.batches.pop(batch_uuid, None)
+        self.tx_marks.pop(batch_uuid, None)
+        if store is None:
+            return
+        for k, v in store.overlay.items():
+            self.db.write(k, v)
+        for k, d in store.programs.items():
+            self.db.set_program(k, d)
+        self.db.flush()
+
+    def discard(self, batch_uuid: str):
+        """Drop the whole batch overlay (cancelBatch)."""
+        self.batches.pop(batch_uuid, None)
+        self.tx_marks.pop(batch_uuid, None)
