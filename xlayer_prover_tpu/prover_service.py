@@ -1,0 +1,199 @@
+"""Prover orchestrator: request queue + worker + proof pipeline.
+
+Equivalent of the reference Prover (src/prover/prover.cpp): owns the proving
+engine instances, accepts ProverRequests into a pending queue, a single
+worker drains it (the reference is also one-proof-at-a-time,
+prover.cpp:182-255), and exposes submit/wait/get APIs used by the
+aggregator client and the services.  A cleaner thread garbage-collects
+completed requests.
+
+Proof cascade (reference prover.cpp:392-980): batch -> (zkevm STARK ->
+c12a -> recursive1); two recursive proofs -> recursive2; final ->
+recursiveF -> Groth16.  Round-1 wiring: gen_batch_proof drives a
+configurable Air pipeline (toy circuits now, zkevm circuit as it lands);
+aggregate/final stages have the full request plumbing with engine slots to
+fill as recursion arrives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import queue
+import threading
+import time
+import uuid as uuid_mod
+from typing import Dict, Optional
+
+from .stark import prover as stark_prover
+from .stark import verifier as stark_verifier
+from .utils.log import zklog
+from .utils.timer import timer
+from .utils.zkresult import ZkError, ZkResult
+
+
+class RequestType(enum.Enum):
+    PROCESS_BATCH = "process_batch"
+    GEN_BATCH_PROOF = "gen_batch_proof"
+    GEN_AGGREGATED_PROOF = "gen_aggregated_proof"
+    GEN_FINAL_PROOF = "gen_final_proof"
+
+
+class RequestState(enum.Enum):
+    PENDING = "pending"
+    RUNNING = "running"
+    COMPLETED = "completed"
+    FAILED = "failed"
+    CANCELLED = "cancelled"
+
+
+@dataclasses.dataclass
+class ProverRequest:
+    req_type: RequestType
+    payload: dict
+    uuid: str = dataclasses.field(
+        default_factory=lambda: str(uuid_mod.uuid4()))
+    state: RequestState = RequestState.PENDING
+    result: ZkResult = ZkResult.UNSPECIFIED
+    proof: Optional[object] = None
+    error: str = ""
+    done: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+
+
+class ProverService:
+    """Queue + worker around the STARK engine (and future recursion)."""
+
+    def __init__(self, setup_registry: Optional[Dict[str, object]] = None,
+                 cleaner_ttl_s: float = 600.0):
+        # name -> (air, Setup) pairs; "batch" is the batch-proof circuit
+        self.setups: Dict[str, object] = setup_registry or {}
+        self.requests: Dict[str, ProverRequest] = {}
+        self._queue: "queue.Queue[str]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._cleaner_ttl = cleaner_ttl_s
+        self._completed_at: Dict[str, float] = {}
+        self._worker.start()
+
+    # -- API ------------------------------------------------------------
+    def submit(self, req: ProverRequest) -> str:
+        with self._lock:
+            self.requests[req.uuid] = req
+        self._queue.put(req.uuid)
+        zklog.info(f"prover: queued {req.req_type.value} uuid={req.uuid}")
+        return req.uuid
+
+    def wait(self, uuid: str, timeout: Optional[float] = None) -> ProverRequest:
+        req = self.requests[uuid]
+        req.done.wait(timeout)
+        return req
+
+    def get(self, uuid: str) -> Optional[ProverRequest]:
+        return self.requests.get(uuid)
+
+    def cancel(self, uuid: str) -> bool:
+        req = self.requests.get(uuid)
+        if req and req.state == RequestState.PENDING:
+            req.state = RequestState.CANCELLED
+            req.result = ZkResult.CANCELLED
+            req.done.set()
+            return True
+        return False
+
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
+    def shutdown(self):
+        self._stop.set()
+        self._queue.put(None)
+        self._worker.join(5.0)
+
+    # -- worker ---------------------------------------------------------
+    def _run(self):
+        while not self._stop.is_set():
+            uid = self._queue.get()
+            if uid is None:
+                break
+            req = self.requests.get(uid)
+            if req is None or req.state == RequestState.CANCELLED:
+                continue
+            req.state = RequestState.RUNNING
+            try:
+                with timer(f"prover.{req.req_type.value}", log=True):
+                    self._dispatch(req)
+                req.state = RequestState.COMPLETED
+                req.result = ZkResult.SUCCESS
+            except ZkError as e:
+                req.state = RequestState.FAILED
+                req.result = e.code
+                req.error = str(e)
+                zklog.error(f"prover: {req.uuid} failed: {e}")
+            except Exception as e:  # noqa: BLE001 - worker must survive
+                req.state = RequestState.FAILED
+                req.result = ZkResult.PROVER_ERROR
+                req.error = str(e)
+                zklog.error(f"prover: {req.uuid} failed: {e}")
+            finally:
+                req.done.set()
+                self._completed_at[req.uuid] = time.monotonic()
+                self._gc()
+
+    def _gc(self):
+        cutoff = time.monotonic() - self._cleaner_ttl
+        with self._lock:
+            stale = [u for u, t in self._completed_at.items() if t < cutoff]
+            for u in stale:
+                self._completed_at.pop(u, None)
+                self.requests.pop(u, None)
+
+    # -- pipelines ------------------------------------------------------
+    def _dispatch(self, req: ProverRequest):
+        if req.req_type == RequestType.GEN_BATCH_PROOF:
+            self._gen_batch_proof(req)
+        elif req.req_type == RequestType.GEN_AGGREGATED_PROOF:
+            self._gen_aggregated_proof(req)
+        elif req.req_type == RequestType.GEN_FINAL_PROOF:
+            self._gen_final_proof(req)
+        else:
+            raise ZkError(ZkResult.INVALID_INPUT,
+                          f"unsupported request {req.req_type}")
+
+    def _get_setup(self, name: str):
+        entry = self.setups.get(name)
+        if entry is None:
+            raise ZkError(ZkResult.PROVER_ERROR, f"no setup named '{name}'")
+        return entry  # (air, Setup)
+
+    def _gen_batch_proof(self, req: ProverRequest):
+        air, setup = self._get_setup(req.payload.get("circuit", "batch"))
+        cm1 = req.payload["cm1"]
+        publics = req.payload.get("publics", [])
+        proof = stark_prover.gen_proof(setup, cm1, publics)
+        # self-check before shipping (the reference cross-verifies via
+        # pil-stark; we have a native verifier)
+        stark_verifier.verify(air, setup.verkey, proof)
+        req.proof = proof
+
+    def _gen_aggregated_proof(self, req: ProverRequest):
+        # recursion circuits (c12a/recursive1/recursive2) land in the next
+        # rounds; until then aggregation validates and re-wraps the two
+        # input proofs so the aggregator protocol round-trips.
+        p1 = req.payload["proof1"]
+        p2 = req.payload["proof2"]
+        air, setup = self._get_setup(req.payload.get("circuit", "batch"))
+        for p in (p1, p2):
+            stark_verifier.verify(air, setup.verkey, p)
+        req.proof = {"aggregated": [p1, p2]}
+
+    def _gen_final_proof(self, req: ProverRequest):
+        inner = req.payload["proof"]
+        air, setup = self._get_setup(req.payload.get("circuit", "batch"))
+        if isinstance(inner, dict) and "aggregated" in inner:
+            for p in inner["aggregated"]:
+                stark_verifier.verify(air, setup.verkey, p)
+        else:
+            stark_verifier.verify(air, setup.verkey, inner)
+        # Groth16 wrap (BN254 MSM) arrives with the recursion stack
+        req.proof = {"final": inner}
