@@ -1,0 +1,6 @@
+#!/bin/bash
+# Build the native host-side crypto library (ctypes-loaded).
+set -e
+SRC_DIR=$(dirname "$0")/../xlayer_prover_tpu/native
+g++ -O3 -march=native -shared -fPIC -o "$SRC_DIR/libzkcrypto.so" "$SRC_DIR/zkcrypto.cpp"
+echo "built $SRC_DIR/libzkcrypto.so"

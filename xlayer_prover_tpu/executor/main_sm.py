@@ -25,7 +25,7 @@ import dataclasses
 from typing import Callable, Dict, List, Optional
 
 from ..fields import gl
-from ..ops.keccak import keccak256
+from ..native import keccak256
 from ..state.hashdb import HashDB
 from ..utils.zkresult import ZkError, ZkResult
 from .rom import Rom, RomLine

@@ -1,0 +1,184 @@
+// Native host-side crypto for the TPU prover's CPU paths.
+//
+// The reference implements these in C++/asm (src/XKCP/Keccak-more-compact.cpp,
+// the goldilocks submodule's PoseidonGoldilocks); here they back the Python
+// executor/state layers via ctypes: keccak-256 for EVM hashing in the Main SM
+// and Poseidon-Goldilocks for SMT node hashing / transcript squeezes.
+// Poseidon round constants + MDS are injected from Python at init so the
+// parameter set stays single-sourced (ops/poseidon_constants.py).
+//
+// Build: tools/build_native.sh (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Keccak-f[1600] + keccak-256
+// ---------------------------------------------------------------------------
+
+static const uint64_t KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+static const int KECCAK_ROT[5][5] = {
+    {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14}};
+
+static inline uint64_t rotl64(uint64_t v, int n) {
+  return n ? (v << n) | (v >> (64 - n)) : v;
+}
+
+void keccak_f1600(uint64_t *a) {  // 25 lanes, index x + 5*y
+  for (int ir = 0; ir < 24; ir++) {
+    uint64_t c[5], d[5];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+    uint64_t b[25];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y],
+                                                  KECCAK_ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) &
+                                       b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[ir];
+  }
+}
+
+void keccak256(const uint8_t *data, uint64_t len, uint8_t *out32) {
+  const uint64_t rate = 136;
+  uint64_t lanes[25];
+  std::memset(lanes, 0, sizeof(lanes));
+  uint64_t off = 0;
+  // full blocks
+  while (len - off >= rate) {
+    for (uint64_t i = 0; i < rate / 8; i++) {
+      uint64_t w;
+      std::memcpy(&w, data + off + 8 * i, 8);
+      lanes[i] ^= w;
+    }
+    keccak_f1600(lanes);
+    off += rate;
+  }
+  // final padded block
+  uint8_t block[136];
+  std::memset(block, 0, sizeof(block));
+  std::memcpy(block, data + off, len - off);
+  block[len - off] ^= 0x01;
+  block[rate - 1] ^= 0x80;
+  for (uint64_t i = 0; i < rate / 8; i++) {
+    uint64_t w;
+    std::memcpy(&w, block + 8 * i, 8);
+    lanes[i] ^= w;
+  }
+  keccak_f1600(lanes);
+  std::memcpy(out32, lanes, 32);
+}
+
+// batch interface: n hashes of equal length
+void keccak256_batch(const uint8_t *data, uint64_t each_len, uint64_t n,
+                     uint8_t *out) {
+  for (uint64_t i = 0; i < n; i++)
+    keccak256(data + i * each_len, each_len, out + 32 * i);
+}
+
+// ---------------------------------------------------------------------------
+// Poseidon over Goldilocks (t = 12, x^7, params injected from Python)
+// ---------------------------------------------------------------------------
+
+static const uint64_t GL_P = 0xFFFFFFFF00000001ULL;
+
+static inline uint64_t gl_add(uint64_t a, uint64_t b) {
+  uint64_t s = a + b;
+  if (s < a || s >= GL_P) s -= GL_P;  // wrap or >= p (p > 2^63: single sub ok)
+  return s;
+}
+
+static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
+  __uint128_t w = ( __uint128_t )a * b;
+  uint64_t lo = (uint64_t)w;
+  uint64_t hi = (uint64_t)(w >> 64);
+  uint64_t hi_hi = hi >> 32;
+  uint64_t hi_lo = hi & 0xFFFFFFFFULL;
+  uint64_t t0 = lo - hi_hi;
+  if (lo < hi_hi) t0 -= 0xFFFFFFFFULL;  // wrapping borrow fix
+  uint64_t t1 = hi_lo * 0xFFFFFFFFULL;
+  uint64_t r = t0 + t1;
+  if (r < t0) r += 0xFFFFFFFFULL;       // wrapping carry fix
+  if (r >= GL_P) r -= GL_P;
+  return r;
+}
+
+static uint64_t POSEIDON_C[360];
+static uint64_t POSEIDON_M[12][12];
+static int poseidon_ready = 0;
+static int POSEIDON_RF = 8;
+static int POSEIDON_RP = 22;
+
+void poseidon_init(const uint64_t *c, const uint64_t *m, int rf, int rp) {
+  std::memcpy(POSEIDON_C, c, sizeof(uint64_t) * 12 * (rf + rp));
+  for (int i = 0; i < 12; i++)
+    for (int j = 0; j < 12; j++) POSEIDON_M[i][j] = m[i * 12 + j];
+  POSEIDON_RF = rf;
+  POSEIDON_RP = rp;
+  poseidon_ready = 1;
+}
+
+static inline uint64_t sbox7(uint64_t x) {
+  uint64_t x2 = gl_mul(x, x);
+  uint64_t x4 = gl_mul(x2, x2);
+  return gl_mul(gl_mul(x4, x2), x);
+}
+
+static void mds(uint64_t *st) {
+  uint64_t out[12];
+  for (int j = 0; j < 12; j++) {
+    uint64_t acc = 0;
+    for (int i = 0; i < 12; i++) acc = gl_add(acc, gl_mul(st[i], POSEIDON_M[i][j]));
+    out[j] = acc;
+  }
+  std::memcpy(st, out, sizeof(out));
+}
+
+int poseidon_permute(uint64_t *st) {  // 12 elements in/out
+  if (!poseidon_ready) return -1;
+  int r = 0;
+  int half = POSEIDON_RF / 2;
+  for (int k = 0; k < half; k++, r++) {
+    for (int i = 0; i < 12; i++) st[i] = gl_add(st[i], POSEIDON_C[r * 12 + i]);
+    for (int i = 0; i < 12; i++) st[i] = sbox7(st[i]);
+    mds(st);
+  }
+  for (int k = 0; k < POSEIDON_RP; k++, r++) {
+    for (int i = 0; i < 12; i++) st[i] = gl_add(st[i], POSEIDON_C[r * 12 + i]);
+    st[0] = sbox7(st[0]);
+    mds(st);
+  }
+  for (int k = 0; k < half; k++, r++) {
+    for (int i = 0; i < 12; i++) st[i] = gl_add(st[i], POSEIDON_C[r * 12 + i]);
+    for (int i = 0; i < 12; i++) st[i] = sbox7(st[i]);
+    mds(st);
+  }
+  return 0;
+}
+
+int poseidon_permute_batch(uint64_t *st, uint64_t n) {
+  if (!poseidon_ready) return -1;
+  for (uint64_t k = 0; k < n; k++) poseidon_permute(st + 12 * k);
+  return 0;
+}
+
+}  // extern "C"

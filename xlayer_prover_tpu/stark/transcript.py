@@ -13,7 +13,7 @@ work by design; the heavy hashing feeding it happens on device).
 from __future__ import annotations
 
 from ..fields import gl
-from ..ops.merkle import _host_permute
+from ..native import poseidon_permute as _host_permute
 
 STATE_SIZE = 4
 PENDING_SIZE = 8

@@ -24,7 +24,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 from ..fields import gl
-from ..ops.merkle import _host_permute
+from ..native import poseidon_permute as _permute
 
 P = gl.P
 ZERO4 = (0, 0, 0, 0)
@@ -77,7 +77,7 @@ def fea8_to_value(fea) -> int:
 
 
 def hash_node(data8, capacity4) -> Tuple[int, int, int, int]:
-    return tuple(_host_permute(list(data8) + list(capacity4))[:4])
+    return tuple(_permute(list(data8) + list(capacity4))[:4])
 
 
 @dataclasses.dataclass
