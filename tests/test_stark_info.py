@@ -1,0 +1,52 @@
+"""StarkInfo loader on a synthesized reference-format fixture."""
+
+import json
+
+from xlayer_prover_tpu.stark.stark_info import StarkInfo
+
+
+FIXTURE = {
+    "starkStruct": {
+        "nBits": 23, "nBitsExt": 24, "nQueries": 32,
+        "verificationHashType": "GL",
+        "steps": [{"nBits": 24}, {"nBits": 19}, {"nBits": 14},
+                  {"nBits": 9}, {"nBits": 4}],
+    },
+    "mapTotalN": 1000000,
+    "nConstants": 61, "nPublics": 44,
+    "nCm1": 751, "nCm2": 6, "nCm3": 18, "nCm4": 6,
+    "qDeg": 2, "qDim": 3,
+    "mapSectionsN": {"cm1_n": 751, "cm2_n": 6, "cm3_n": 18, "cm4_n": 6,
+                     "q_2ns": 3, "f_2ns": 3},
+    "mapDeg": {"cm1_n": 8388608, "cm1_2ns": 16777216},
+    "mapOffsets": {"cm1_n": 0, "cm2_n": 6291456},
+    "cm_n": [0, 1, 2], "cm_2ns": [3, 4, 5], "qs": [6, 7],
+    "puCtx": [{"fExpId": 10, "tExpId": 11, "h1Id": 12, "h2Id": 13,
+               "zId": 14, "c1Id": 15, "c2Id": 16, "numId": 17, "denId": 18}],
+    "peCtx": [{"fExpId": 20, "tExpId": 21, "zId": 22, "c1Id": 23,
+               "c2Id": 24, "numId": 25, "denId": 26}],
+    "ciCtx": [{"zId": 30, "numId": 31, "denId": 32}],
+    "evMap": [{"type": "cm", "id": 0, "prime": False},
+              {"type": "cm", "id": 0, "prime": True},
+              {"type": "const", "id": 3, "prime": False},
+              {"type": "q", "id": 0, "prime": False}],
+    "step42ns": {"first": [{"op": "mul", "dest": {"type": "tmp", "id": 0},
+                            "src": [{"type": "cm", "id": 1},
+                                    {"type": "challenge", "id": 4}]}]},
+}
+
+
+def test_load_fixture(tmp_path):
+    path = tmp_path / "test.starkinfo.json"
+    path.write_text(json.dumps(FIXTURE))
+    si = StarkInfo.load(str(path))
+    assert si.stark_struct.n_bits == 23
+    assert si.fri_steps() == [24, 19, 14, 9, 4]
+    assert si.n_cm1 == 751
+    assert si.map_sections_n["cm1_n"] == 751
+    assert si.pu_ctx[0].h1_id == 12
+    assert si.pe_ctx[0].num_id == 25
+    assert si.ci_ctx[0].z_id == 30
+    assert [e.prime for e in si.ev_map] == [False, True, False, False]
+    assert si.steps["step42ns"][0].op == "mul"
+    assert si.q_deg == 2

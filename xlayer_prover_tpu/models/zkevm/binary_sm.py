@@ -64,6 +64,7 @@ def build(builder: AirBuilder, n_bits: int, chunk_bits: int = 4) -> BinaryLayout
     fixed = {}
     witness = {}
     fixed["RESET"] = builder.fixed("BIN_RESET")
+    fixed["LAST"] = builder.fixed("BIN_LAST")
     for j in range(8):
         fixed[f"FACTOR{j}"] = builder.fixed(f"BIN_FACTOR{j}")
     for name in ("T_OP", "T_A", "T_B", "T_CIN", "T_C", "T_COUT"):
@@ -111,6 +112,7 @@ def fill_fixed(layout: BinaryLayout, const_np: np.ndarray):
     cpl = 32 // cb  # chunks per 32-bit limb
     idx = np.arange(n)
     const_np[:, layout.fixed["RESET"].index] = (idx % rpo == 0)
+    const_np[:, layout.fixed["LAST"].index] = (idx % rpo == rpo - 1)
     pos = idx % rpo
     limb = pos // cpl
     within = pos % cpl

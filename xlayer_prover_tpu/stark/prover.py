@@ -136,6 +136,130 @@ def _exclusive_prefix_product(ratios):
     return tuple(jnp.concatenate([one[k], pre[k][:-1]]) for k in range(3))
 
 
+# ---------------------------------------------------------------------------
+# Per-air jitted stage pipelines (compiled once per circuit, cached)
+# ---------------------------------------------------------------------------
+
+_AIR_JITS = {}
+
+
+def _challenges_env(ch_arr):
+    """(8, 3) uint64 array -> EvalEnv challenges dict."""
+    return {s: tuple(ch_arr[s, k] for k in range(3)) for s in range(8)}
+
+
+def get_air_jits(air):
+    """Returns dict with 'quotient' and 'round5' jitted functions for `air`.
+
+    quotient(const_ext, cm1e, cm2e, cm3e, ch8x3, publics, x_ext, l1_ext,
+             zi_ext) -> cm4_ext
+    round5(sections..., cm4e, ch8x3, publics, x_ext, l1_ext) ->
+             (evals (nEv,3), fri_pol triple)
+    """
+    key = id(air)
+    hit = _AIR_JITS.get(key)
+    if hit is not None and hit[0] is air:
+        return hit[1]
+    import jax
+    import jax.numpy as jnp
+
+    n, n_ext = air.n, air.n_ext
+    blowup = n_ext // n
+    constraints = air_mod.all_constraints(air)
+    shift_inv = gl.host_inv(gl.SHIFT)
+    w_n = gl.host_w(air.n_bits)
+
+    def quotient(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext,
+                 zi_ext):
+        sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
+                    "cm3": cm3e}
+        pubs = [publics[i] for i in range(air.n_publics)]
+        env = EvalEnv(sections, _challenges_env(ch), pubs, x_ext, l1_ext,
+                      blowup)
+        vc = tuple(ch[CH_VC, k] for k in range(3))
+        acc = None
+        for c in constraints:
+            val = env.eval_ext(c)
+            acc = val if acc is None else gl3.add(gl3.mul(acc, vc), val)
+        q_vals = tuple(gl.mul(c, zi_ext) for c in acc)
+        q_coeffs = ntt.intt(gl3.stack_cols(q_vals), air.n_bits_ext)
+        shift_in = pow(shift_inv, n, P)
+        parts = []
+        cur_s = 1
+        for p_i in range(air.q_deg):
+            chunk = gl.mul_const(q_coeffs[p_i * n:(p_i + 1) * n], cur_s)
+            cur_s = (cur_s * shift_in) % P
+            chunk = jnp.pad(chunk, ((0, n_ext - n), (0, 0)))
+            parts.append(ntt.ntt(chunk, air.n_bits_ext))
+        return jnp.concatenate(parts, axis=1)
+
+    def round5(const_ext, cm1e, cm2e, cm3e, cm4e, ch, publics, x_ext,
+               l1_ext):
+        sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
+                    "cm3": cm3e, "cm4": cm4e}
+        xi = tuple(ch[CH_XI, k] for k in range(3))
+        xis = gl3.mul_base(xi, jnp.uint64(shift_inv))
+        wxis = gl3.mul_base(xi, jnp.uint64((w_n * shift_inv) % P))
+        lev = _lagrange_weights_traced(xis, air.n_bits)
+        lpev = _lagrange_weights_traced(wxis, air.n_bits)
+
+        evals = []
+        for entry in air.ev_map:
+            sec = sections[entry.section]
+            samp = sec[::blowup]
+            weights = lpev if entry.prime else lev
+            if entry.dim == 1:
+                col = samp[:, entry.index]
+                prod = tuple(gl.mul(w, col) for w in weights)
+            else:
+                col3 = tuple(samp[:, entry.index + k] for k in range(3))
+                prod = gl3.mul(weights, col3)
+            ev = gl3.sum_axis(prod, axis=0)
+            evals.append(jnp.stack(list(ev)))
+        evals_arr = jnp.stack(evals)               # (nEv, 3)
+
+        v1 = tuple(ch[CH_V1, k] for k in range(3))
+        v2 = tuple(ch[CH_V2, k] for k in range(3))
+        wxi = gl3.mul_base(xi, jnp.uint64(w_n))
+        xdiv1 = _x_div_x_sub_traced(x_ext, xi)
+        xdiv2 = _x_div_x_sub_traced(x_ext, wxi)
+
+        acc_np_ = gl3.zeros((n_ext,))
+        acc_p_ = gl3.zeros((n_ext,))
+        v1_pow = gl3.ones(())
+        for i, entry in enumerate(air.ev_map):
+            sec = sections[entry.section]
+            if entry.dim == 1:
+                colv = gl3.from_base(sec[:, entry.index])
+            else:
+                colv = tuple(sec[:, entry.index + k] for k in range(3))
+            ev3 = tuple(evals_arr[i, k] for k in range(3))
+            term = gl3.mul(gl3.sub(colv, ev3), v1_pow)
+            if entry.prime:
+                acc_p_ = gl3.add(acc_p_, term)
+            else:
+                acc_np_ = gl3.add(acc_np_, term)
+            v1_pow = gl3.mul(v1_pow, v1)
+
+        fri_pol = gl3.add(gl3.mul(acc_np_, xdiv1),
+                          gl3.mul(gl3.mul(acc_p_, xdiv2), v2))
+        return evals_arr, fri_pol
+
+    jits = {"quotient": jax.jit(quotient), "round5": jax.jit(round5)}
+    _AIR_JITS[key] = (air, jits)
+    return jits
+
+
+def _lagrange_weights_traced(point3, n_bits: int):
+    series = gl3.powers_device(point3, 1 << n_bits)
+    return gl3.from_cols(ntt.intt(gl3.stack_cols(series), n_bits))
+
+
+def _x_div_x_sub_traced(x_ext, point3):
+    diff = gl3.sub(gl3.from_base(x_ext), point3)
+    return gl3.mul_base(gl3.batch_inv(diff), x_ext)
+
+
 def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     air = setup.air
     n, n_ext = air.n, air.n_ext
@@ -243,96 +367,35 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     sections_n["cm3"] = cm3_n
     sections_ext["cm3"] = cm3_ext
 
-    # ---- round 4: quotient -------------------------------------------
+    # ---- round 4: quotient (jitted per-air) --------------------------
     challenges[CH_VC] = _challenge_triple(transcript)
-    env_ext = EvalEnv(sections_ext, challenges, publics_dev, x_ext, l1_ext,
-                      blowup)
-    constraints = air_mod.all_constraints(air)
-    vc = challenges[CH_VC]
-    acc = None
-    for c in constraints:
-        val = env_ext.eval_ext(c)
-        acc = val if acc is None else gl3.add(gl3.mul(acc, vc), val)
-    q_vals = tuple(gl.mul(c, zi_ext) for c in acc)  # C * Zi (componentwise)
-
-    # split into q_deg chunks of degree N on the coset
-    q_cols = gl3.stack_cols(q_vals)                   # (n_ext, 3)
-    q_coeffs = ntt.intt(q_cols, air.n_bits_ext)       # coset coeffs c'_k
-    shift_in = pow(gl.host_inv(gl.SHIFT), n, P)
-    import jax.numpy as jnp
-    cm4_parts = []
-    cur_s = 1
-    for p_i in range(air.q_deg):
-        chunk = gl.mul_const(q_coeffs[p_i * n:(p_i + 1) * n], cur_s)
-        cur_s = (cur_s * shift_in) % P
-        chunk = jnp.pad(chunk, ((0, n_ext - n), (0, 0)))
-        cm4_parts.append(ntt.ntt(chunk, air.n_bits_ext))  # (n_ext, 3)
-    cm4_ext = jnp.concatenate(cm4_parts, axis=1)
+    jits = get_air_jits(air)
+    publics_arr = gl.from_u64_np(np.array(publics + [0], dtype=np.uint64))
+    cm4_ext = jits["quotient"](setup.const_ext, cm1_ext, cm2_ext, cm3_ext,
+                               _challenges_array(challenges), publics_arr,
+                               x_ext, l1_ext, zi_ext)
     tree4 = merkle.merkelize(cm4_ext, air.cm4_width)
     root4 = [int(v) for v in tree4.root_np()]
     transcript.put(root4)
     sections_ext["cm4"] = cm4_ext
 
-    # ---- round 5: evals + DEEP/FRI polynomial ------------------------
+    # ---- round 5: evals + DEEP/FRI polynomial (jitted per-air) -------
     challenges[CH_XI] = _challenge_triple(transcript)
-    xi_ints = [int(v) for v in gl3.to_u64_np(challenges[CH_XI]).reshape(3)]
-    w_n = gl.host_w(air.n_bits)
-    shift_inv = gl.host_inv(gl.SHIFT)
-
-    xis = _host3_scale(xi_ints, shift_inv)                  # xi / shift
-    wxis = _host3_scale(xi_ints, (w_n * shift_inv) % P)     # xi*w / shift
-
-    lev = _lagrange_weights(xis, air.n_bits)    # gl3 triple (N,)
-    lpev = _lagrange_weights(wxis, air.n_bits)
-
-    evals = []
-    for entry in air.ev_map:
-        sec = sections_ext[entry.section] if entry.section != "const" \
-            else setup.const_ext
-        samp = sec[::blowup]                      # rows k << extendBits
-        weights = lpev if entry.prime else lev
-        if entry.dim == 1:
-            col = samp[:, entry.index]
-            prod = tuple(gl.mul(w, col) for w in weights)
-        else:
-            col3 = tuple(samp[:, entry.index + k] for k in range(3))
-            prod = gl3.mul(weights, col3)
-        ev = gl3.sum_axis(prod, axis=0)
-        evals.append([int(v) for v in gl3.to_u64_np(ev).reshape(3)])
-
+    # evals depend only on xi; v1/v2 are drawn AFTER the evals enter the
+    # transcript, so round5 is traced with all challenge slots but the
+    # evals it computes are unaffected by v1/v2 (verified by replay).
+    # First pass: compute evals with placeholder v1/v2 = 0 would change
+    # fri_pol, so round5 is invoked once with the final challenge array
+    # after the draws; the evals are deterministic either way.
+    evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
+                                publics_arr, x_ext, l1_ext)
+    evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
     for ev in evals:
         transcript.put(ev)
     challenges[CH_V1] = _challenge_triple(transcript)
     challenges[CH_V2] = _challenge_triple(transcript)
-    v1_ints = [int(v) for v in gl3.to_u64_np(challenges[CH_V1]).reshape(3)]
-
-    # xDivXSubXi / xDivXSubWXi on the extended domain
-    wxi_ints = _host3_scale(xi_ints, w_n)
-    x_div_x_sub_xi = _x_div_x_sub(x_ext, xi_ints)
-    x_div_x_sub_wxi = _x_div_x_sub(x_ext, wxi_ints)
-
-    acc_np_ = gl3.zeros((n_ext,))
-    acc_p_ = gl3.zeros((n_ext,))
-    v1_pow = [1, 0, 0]
-    for i, entry in enumerate(air.ev_map):
-        sec = sections_ext[entry.section] if entry.section != "const" \
-            else setup.const_ext
-        if entry.dim == 1:
-            colv = gl3.from_base(sec[:, entry.index])
-        else:
-            colv = tuple(sec[:, entry.index + k] for k in range(3))
-        ev3 = gl3.from_ints(*evals[i])
-        term = gl3.sub(colv, ev3)
-        term = gl3.mul(term, gl3.from_ints(*v1_pow))
-        if entry.prime:
-            acc_p_ = gl3.add(acc_p_, term)
-        else:
-            acc_np_ = gl3.add(acc_np_, term)
-        v1_pow = gl3._host_mul3(v1_pow, v1_ints)
-
-    fri_pol = gl3.add(gl3.mul(acc_np_, x_div_x_sub_xi),
-                      gl3.mul(gl3.mul(acc_p_, x_div_x_sub_wxi),
-                              challenges[CH_V2]))
+    _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
+                              publics_arr, x_ext, l1_ext)
 
     # ---- FRI ----------------------------------------------------------
     trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
@@ -372,3 +435,24 @@ def _x_div_x_sub(x_ext, point3):
     diff = gl3.sub(gl3.from_base(x_ext), pt)
     inv = gl3.batch_inv(diff)
     return gl3.mul_base(inv, x_ext)
+
+
+def _challenges_array(challenges: dict):
+    """dict slot -> gl3 triple  =>  (8, 3) uint64 device array."""
+    import jax.numpy as jnp
+    rows = []
+    for s in range(8):
+        tri = challenges.get(s)
+        if tri is None:
+            rows.append(jnp.zeros(3, dtype=jnp.uint64))
+        else:
+            rows.append(jnp.stack([jnp.asarray(c).reshape(()) for c in tri]))
+    return jnp.stack(rows)
+
+
+def _round5_with(jits, setup, sections_ext, challenges, publics_arr, x_ext,
+                 l1_ext):
+    return jits["round5"](setup.const_ext, sections_ext["cm1"],
+                          sections_ext["cm2"], sections_ext["cm3"],
+                          sections_ext["cm4"], _challenges_array(challenges),
+                          publics_arr, x_ext, l1_ext)
