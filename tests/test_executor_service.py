@@ -1,0 +1,70 @@
+"""Executor gRPC service over localhost: ProcessBatchV2 + GetFlushStatus."""
+
+import numpy as np
+import pytest
+
+from xlayer_prover_tpu.executor.executor import Executor
+from xlayer_prover_tpu.executor.rom import Rom
+from xlayer_prover_tpu.services.executor_service import (ExecutorServer,
+                                                         ExecutorServiceImpl,
+                                                         make_client)
+from xlayer_prover_tpu.services.gen import executor_pb2 as pb
+from xlayer_prover_tpu.state.hashdb import HashDB
+
+
+def _rom():
+    # write 7 to storage slot 3, leaving a nonzero state root
+    prog = [
+        {"CONST": 3, "setC": 1},
+        {"CONST": 7, "setD": 1},
+        {"sWR": 1},
+        {"CONST": 0},
+    ]
+    return Rom.from_json({"program": prog,
+                          "labels": {"start": 0, "finalizeExecution": 3},
+                          "constants": {}})
+
+
+@pytest.fixture(scope="module")
+def service():
+    ex = Executor(_rom(), n_bits=11, max_steps=20)
+    impl = ExecutorServiceImpl(ex, HashDB())
+    server = ExecutorServer(impl).start()
+    yield server, impl
+    server.stop()
+
+
+def test_process_batch_v2(service):
+    server, impl = service
+    process, flush = make_client(server.port)
+    req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32,
+                                   batch_l2_data=b"\x01\x02")
+    resp = process(req)
+    assert resp.error == pb.EXECUTOR_ERROR_NO_ERROR
+    assert resp.new_state_root != b"\x00" * 32
+    assert resp.cnt_steps > 0
+    assert resp.cnt_poseidon_hashes == 1  # one sWR
+
+    from google.protobuf import empty_pb2
+    status = flush(empty_pb2.Empty())
+    assert status.last_flush_id >= 1
+    assert status.stored_flush_id == status.last_flush_id
+
+
+def test_process_batch_error_path(service):
+    """A ROM failure must return an executor error, not crash."""
+    server, impl = service
+    # swap in an executor whose ROM asserts falsely
+    bad_prog = [{"CONST": 1, "setA": 1}, {"CONST": 2, "assert": 1},
+                {"CONST": 0}]
+    bad_rom = Rom.from_json({"program": bad_prog,
+                             "labels": {"start": 0, "finalizeExecution": 2},
+                             "constants": {}})
+    old = impl.executor
+    impl.executor = Executor(bad_rom, n_bits=11, max_steps=10)
+    try:
+        process, _ = make_client(server.port)
+        resp = process(pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32))
+        assert resp.error == pb.EXECUTOR_ERROR_UNSPECIFIED
+    finally:
+        impl.executor = old
