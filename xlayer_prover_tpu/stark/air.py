@@ -79,16 +79,21 @@ def _wrap(v) -> "Expr":
 @dataclasses.dataclass(frozen=True, eq=False)
 class Col(Expr):
     """Reference to a column: section in {'const','cm1','cm2','cm3'}, index
-    within section, dim in {1,3}, prime = next-row shift."""
+    within section, dim in {1,3}, shift = row offset (1 = the reference's
+    "prime"; larger shifts serve row-spread designs like the Arith SM)."""
     section: str
     index: int
     dim: int = 1
-    prime: bool = False
+    shift: int = 0
     name: str = ""
 
-    def shifted(self) -> "Col":
-        assert not self.prime
-        return Col(self.section, self.index, self.dim, True, self.name)
+    @property
+    def prime(self) -> bool:
+        return self.shift != 0
+
+    def shifted(self, by: int = 1) -> "Col":
+        return Col(self.section, self.index, self.dim, self.shift + by,
+                   self.name)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -177,7 +182,7 @@ class EvMapEntry:
     section: str   # 'const' | 'cm1' | 'cm2' | 'cm3' | 'cm4'
     index: int     # base column index within section (start of dim block)
     dim: int
-    prime: bool
+    shift: int     # evaluation point is w^shift * xi
 
 
 # ---------------------------------------------------------------------------
@@ -447,9 +452,8 @@ class XSymbol(Expr):
 
 
 def _shift_expr(e: Expr) -> Expr:
-    """Replace every Col in e with its next-row (prime) version."""
+    """Replace every Col in e with its next-row version."""
     if isinstance(e, Col):
-        assert not e.prime, "cannot double-shift"
         return e.shifted()
     if isinstance(e, BinOp):
         return BinOp(e.op, _shift_expr(e.a), _shift_expr(e.b))
@@ -457,13 +461,13 @@ def _shift_expr(e: Expr) -> Expr:
 
 
 def build_ev_map(air: Air):
-    """Every (section, base-index, dim, prime) needed to evaluate all
+    """Every (section, base-index, dim, shift) needed to evaluate all
     constraints at xi, plus the quotient chunks. Canonical order."""
     needed = {}
 
     def visit(e):
         for c in expr_cols(e):
-            key = (c.section, c.index, c.dim, c.prime)
+            key = (c.section, c.index, c.dim, int(c.shift))
             needed[key] = True
 
     for c in all_constraints(air):
@@ -471,5 +475,5 @@ def build_ev_map(air: Air):
     entries = [EvMapEntry(*k) for k in sorted(needed.keys(),
                                               key=lambda k: (k[0], k[1], k[3]))]
     for p in range(air.q_deg):
-        entries.append(EvMapEntry("cm4", p * air.q_dim, air.q_dim, False))
+        entries.append(EvMapEntry("cm4", p * air.q_dim, air.q_dim, 0))
     return entries

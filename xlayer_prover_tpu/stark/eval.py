@@ -99,8 +99,8 @@ class EvalEnv:
     def _col_values(self, c: Col):
         sec = self.sections[c.section]
         block = sec[:, c.index:c.index + c.dim]
-        if c.prime and self.shift_rows:
-            block = jnp.roll(block, -self.shift_rows, axis=0)
+        if c.shift and self.shift_rows:
+            block = jnp.roll(block, -c.shift * self.shift_rows, axis=0)
         if c.dim == 1:
             return ("base", block[:, 0])
         return ("ext", tuple(block[:, k] for k in range(3)))
@@ -138,7 +138,7 @@ class ScalarEnv:
     """Col -> gl3 value from the proof evals; everything in python ints."""
 
     def __init__(self, air, evals, challenges, publics, xi, l1_xi):
-        # evals: dict (section, index, prime) -> [e0, e1, e2]
+        # evals: dict (section, index, shift) -> [e0, e1, e2]
         self.air = air
         self.evals = evals
         self.challenges = challenges
@@ -160,7 +160,7 @@ class ScalarEnv:
     def _eval(self, e: Expr):
         P = gl.P
         if isinstance(e, Col):
-            return list(self.evals[(e.section, e.index, e.prime)])
+            return list(self.evals[(e.section, e.index, int(e.shift))])
         if isinstance(e, Const):
             return [e.value % P, 0, 0]
         if isinstance(e, Challenge):

@@ -193,21 +193,25 @@ def get_air_jits(air):
             parts.append(ntt.ntt(chunk, air.n_bits_ext))
         return jnp.concatenate(parts, axis=1)
 
+    # distinct evaluation shifts appearing in the ev map (0 = xi itself)
+    shifts = sorted({e.shift for e in air.ev_map})
+
     def round5(const_ext, cm1e, cm2e, cm3e, cm4e, ch, publics, x_ext,
                l1_ext):
         sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
                     "cm3": cm3e, "cm4": cm4e}
         xi = tuple(ch[CH_XI, k] for k in range(3))
-        xis = gl3.mul_base(xi, jnp.uint64(shift_inv))
-        wxis = gl3.mul_base(xi, jnp.uint64((w_n * shift_inv) % P))
-        lev = _lagrange_weights_traced(xis, air.n_bits)
-        lpev = _lagrange_weights_traced(wxis, air.n_bits)
+        # per-shift Lagrange weights at w^s * xi
+        weights_by_shift = {}
+        for s_ in shifts:
+            pt = gl3.mul_base(xi, jnp.uint64((pow(w_n, s_, P) * shift_inv) % P))
+            weights_by_shift[s_] = _lagrange_weights_traced(pt, air.n_bits)
 
         evals = []
         for entry in air.ev_map:
             sec = sections[entry.section]
             samp = sec[::blowup]
-            weights = lpev if entry.prime else lev
+            weights = weights_by_shift[entry.shift]
             if entry.dim == 1:
                 col = samp[:, entry.index]
                 prod = tuple(gl.mul(w, col) for w in weights)
@@ -220,12 +224,8 @@ def get_air_jits(air):
 
         v1 = tuple(ch[CH_V1, k] for k in range(3))
         v2 = tuple(ch[CH_V2, k] for k in range(3))
-        wxi = gl3.mul_base(xi, jnp.uint64(w_n))
-        xdiv1 = _x_div_x_sub_traced(x_ext, xi)
-        xdiv2 = _x_div_x_sub_traced(x_ext, wxi)
 
-        acc_np_ = gl3.zeros((n_ext,))
-        acc_p_ = gl3.zeros((n_ext,))
+        accs = {s_: gl3.zeros((n_ext,)) for s_ in shifts}
         v1_pow = gl3.ones(())
         for i, entry in enumerate(air.ev_map):
             sec = sections[entry.section]
@@ -235,14 +235,17 @@ def get_air_jits(air):
                 colv = tuple(sec[:, entry.index + k] for k in range(3))
             ev3 = tuple(evals_arr[i, k] for k in range(3))
             term = gl3.mul(gl3.sub(colv, ev3), v1_pow)
-            if entry.prime:
-                acc_p_ = gl3.add(acc_p_, term)
-            else:
-                acc_np_ = gl3.add(acc_np_, term)
+            accs[entry.shift] = gl3.add(accs[entry.shift], term)
             v1_pow = gl3.mul(v1_pow, v1)
 
-        fri_pol = gl3.add(gl3.mul(acc_np_, xdiv1),
-                          gl3.mul(gl3.mul(acc_p_, xdiv2), v2))
+        fri_pol = gl3.zeros((n_ext,))
+        v2_pow = gl3.ones(())
+        for s_ in shifts:
+            pt = gl3.mul_base(xi, jnp.uint64(pow(w_n, s_, P)))
+            xdiv = _x_div_x_sub_traced(x_ext, pt)
+            fri_pol = gl3.add(fri_pol,
+                              gl3.mul(gl3.mul(accs[s_], xdiv), v2_pow))
+            v2_pow = gl3.mul(v2_pow, v2)
         return evals_arr, fri_pol
 
     jits = {"quotient": jax.jit(quotient), "round5": jax.jit(round5)}

@@ -122,7 +122,7 @@ def verify(air, verkey, proof: StarkProof) -> bool:
         if entry.section == "cm4":
             q_evals.append(ev)
         else:
-            evals_by_key[(entry.section, entry.index, entry.prime)] = ev
+            evals_by_key[(entry.section, entry.index, entry.shift)] = ev
     if len(q_evals) != air.q_deg:
         raise VerifyError("quotient evals count mismatch")
 
@@ -150,7 +150,7 @@ def verify(air, verkey, proof: StarkProof) -> bool:
     w_n = gl.host_w(air.n_bits)
     v1 = ch[CH_V1]
     v2 = ch[CH_V2]
-    wxi = _scale3(xi, w_n)
+    shifts = sorted({e.shift for e in air.ev_map})
 
     for qi, y in enumerate(ys):
         # main tree openings
@@ -166,7 +166,7 @@ def verify(air, verkey, proof: StarkProof) -> bool:
 
         # recompute friPol(x_y)
         x_y = (gl.SHIFT * pow(w_ext, y, P)) % P
-        acc_np, acc_p = [0, 0, 0], [0, 0, 0]
+        accs = {s_: [0, 0, 0] for s_ in shifts}
         v1_pow = [1, 0, 0]
         for i, entry in enumerate(air.ev_map):
             mp = q0[section_tree[entry.section]]
@@ -175,15 +175,15 @@ def verify(air, verkey, proof: StarkProof) -> bool:
             else:
                 pv = [v % P for v in mp.values[entry.index:entry.index + 3]]
             term = _host_mul3(_sub3(pv, proof.evals[i]), v1_pow)
-            if entry.prime:
-                acc_p = _add3(acc_p, term)
-            else:
-                acc_np = _add3(acc_np, term)
+            accs[entry.shift] = _add3(accs[entry.shift], term)
             v1_pow = _host_mul3(v1_pow, v1)
-        xdiv1 = _scale3(_inv3(_sub3([x_y, 0, 0], xi)), x_y)
-        xdiv2 = _scale3(_inv3(_sub3([x_y, 0, 0], wxi)), x_y)
-        cur = _add3(_host_mul3(acc_np, xdiv1),
-                    _host_mul3(_host_mul3(acc_p, xdiv2), v2))
+        cur = [0, 0, 0]
+        v2_pow = [1, 0, 0]
+        for s_ in shifts:
+            pt = _scale3(xi, pow(w_n, s_, P))
+            xdiv = _scale3(_inv3(_sub3([x_y, 0, 0], pt)), x_y)
+            cur = _add3(cur, _host_mul3(_host_mul3(accs[s_], xdiv), v2_pow))
+            v2_pow = _host_mul3(v2_pow, v2)
 
         # FRI fold chain
         shift_inv = gl.host_inv(gl.SHIFT)
