@@ -134,6 +134,8 @@ class Context:
         self.input_vars = input_vars or {}
         self.carry = 0
         self.done = False
+        self.step = 0
+        self.max_steps = 1 << 23
 
 
 class CommandError(ZkError):
@@ -175,6 +177,7 @@ class MainExecutor:
                 return int(ctx.input_vars[name])
             raise CommandError(f"undefined var {name}")
         if op in ("add", "sub", "mul", "div", "mod", "or", "and", "xor",
+                  "bitand", "bitor", "bitxor", "bitnot",
                   "shl", "shr", "lt", "gt", "eq", "ne", "not"):
             vals = [self.eval_command(ctx, v) for v in cmd["values"]]
             return self._binop(op, vals)
@@ -207,12 +210,14 @@ class MainExecutor:
             return a // b if b else 0
         if op == "mod":
             return a % b if b else 0
-        if op == "or":
+        if op in ("or", "bitor"):
             return a | b
-        if op == "and":
+        if op in ("and", "bitand"):
             return a & b
-        if op == "xor":
+        if op in ("xor", "bitxor"):
             return a ^ b
+        if op == "bitnot":
+            return a ^ MASK256
         if op == "shl":
             return (a << b) & MASK256
         if op == "shr":
@@ -238,6 +243,7 @@ class MainExecutor:
         regs.zkPC = self.rom.label(start_label) if start_label else 0
         stop_pc = self.rom.labels.get(stop_label) if stop_label else None
 
+        ctx.max_steps = self.max_steps
         for step in range(self.max_steps):
             if ctx.done:
                 break
@@ -246,6 +252,7 @@ class MainExecutor:
                 break
             line = self.rom.program[regs.zkPC]
             ctx.counters.steps += 1
+            ctx.step = step
             self.execute_line(ctx, line, step)
         else:
             raise ZkError(ZkResult.OUT_OF_COUNTERS_STEP, "max steps reached")
@@ -323,7 +330,11 @@ class MainExecutor:
             if not line.free_in_tag or not line.free_in_tag.get("op"):
                 fi8 = self._free_in_default(ctx, line)
             else:
-                fi8 = scalar_to_fea(self.eval_command(ctx, line.free_in_tag))
+                res = self.eval_command(ctx, line.free_in_tag)
+                # functions may return raw 8-limb field lists (e.g. cond's
+                # field -1, which exceeds the 32-bit scalar limbs)
+                fi8 = [int(v) % P for v in res] if isinstance(res, list) \
+                    else scalar_to_fea(res)
             if sel.get("inFREE"):
                 add_vec(sel["inFREE"], fi8)
             if sel.get("inFREE0"):
