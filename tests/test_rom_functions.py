@@ -104,3 +104,32 @@ def test_mem_align_helpers_match_oracle():
         assert rf.mem_align_wr_w1(ctx, m1, val, off) == exp_m1
     _, exp_m0, _ = apply_action(MemAlignAction("WR8", m0, m1, 3, 0xAB))
     assert rf.mem_align_wr8_w0(ctx, m0, 0xAB, 3) == exp_m0
+
+
+def test_mpdiv_protocol():
+    ctx = _ctx()
+    # dividend = 2 chunks, divisor = 1 chunk
+    a = (123 << 256) | 456
+    ctx.mem[10] = scalar_to_fea(456)
+    ctx.mem[11] = scalar_to_fea(123)
+    ctx.mem[20] = scalar_to_fea(7)
+    rf.mp_div(ctx, 10, 2, 20, 1)
+    q_len = rf.receive_len_quotient(ctx)
+    q = sum(rf.receive_quotient_chunk(ctx, i) << (256 * i)
+            for i in range(q_len))
+    r_len = rf.receive_len_remainder(ctx)
+    r = sum(rf.receive_remainder_chunk(ctx, i) << (256 * i)
+            for i in range(r_len))
+    assert q == a // 7 and r == a % 7
+
+
+def test_mpdiv_short():
+    ctx = _ctx()
+    a = (99 << 256) | 5
+    ctx.mem[0] = scalar_to_fea(5)
+    ctx.mem[1] = scalar_to_fea(99)
+    rem = rf.mp_div_short(ctx, 0, 2, 10)
+    assert rem == a % 10
+    assert rf.receive_len_quotient(ctx) == 2  # padded to dividend length
+    q = sum(rf.receive_quotient_chunk(ctx, i) << (256 * i) for i in range(2))
+    assert q == a // 10

@@ -250,6 +250,80 @@ def mem_align_wr8_w0(ctx, m0, value, offset):
 
 
 # ---------------------------------------------------------------------------
+# MPdiv protocol (reference _MPdiv/_MPdiv_short + receive* streaming,
+# eval_command.cpp:2916-3180): multiprecision division over base-2^256
+# chunk arrays held in Main SM memory; quotient/remainder chunks are
+# stashed on the context and streamed back through receive* calls.
+# ---------------------------------------------------------------------------
+
+B256 = 1 << 256
+
+
+def _read_chunks(ctx, addr, length):
+    out = []
+    for i in range(int(length)):
+        fea = ctx.mem.get(int(addr) + i)
+        if fea is None:
+            raise KeyError(f"MPdiv: memory at {int(addr) + i} empty")
+        out.append(fea_to_scalar(fea))
+    return out
+
+
+def _to_digits(v: int):
+    if v == 0:
+        return [0]
+    out = []
+    while v:
+        out.append(v % B256)
+        v //= B256
+    return out
+
+
+def mp_div(ctx, addr1, len1, addr2, len2):
+    a = _read_chunks(ctx, addr1, len1)
+    b = _read_chunks(ctx, addr2, len2)
+    av = sum(c << (256 * i) for i, c in enumerate(a))
+    bv = sum(c << (256 * i) for i, c in enumerate(b))
+    if bv == 0:
+        raise ZeroDivisionError("MPdiv by zero")
+    q, r = divmod(av, bv)
+    ctx.vars["_mp_quotient"] = _to_digits(q)
+    ctx.vars["_mp_remainder"] = _to_digits(r)
+    return 0
+
+
+def mp_div_short(ctx, addr1, len1, divisor):
+    a = _read_chunks(ctx, addr1, len1)
+    av = sum(c << (256 * i) for i, c in enumerate(a))
+    bv = int(divisor)
+    if bv == 0:
+        raise ZeroDivisionError("MPdiv_short by zero")
+    q, r = divmod(av, bv)
+    # the reference keeps the quotient at the dividend's length
+    digits = _to_digits(q)
+    digits += [0] * (int(len1) - len(digits))
+    ctx.vars["_mp_quotient"] = digits
+    ctx.vars["_mp_remainder"] = [r]
+    return r
+
+
+def receive_len_quotient(ctx):
+    return len(ctx.vars.get("_mp_quotient", []))
+
+
+def receive_len_remainder(ctx):
+    return len(ctx.vars.get("_mp_remainder", []))
+
+
+def receive_quotient_chunk(ctx, i):
+    return int(ctx.vars["_mp_quotient"][int(i)])
+
+
+def receive_remainder_chunk(ctx, i):
+    return int(ctx.vars["_mp_remainder"][int(i)])
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -285,8 +359,15 @@ FUNCTIONS = {
     "memAlignWR_W0": mem_align_wr_w0,
     "memAlignWR_W1": mem_align_wr_w1,
     "memAlignWR8_W0": mem_align_wr8_w0,
-    # MPdiv protocol + receive* chunk streaming: next round (stateful
-    # multiprecision division shared between calls)
+    "MPdiv": mp_div,
+    "MPdiv_short": mp_div_short,
+    "receiveLenQuotient": receive_len_quotient,
+    "receiveLenQuotient_short": receive_len_quotient,
+    "receiveLenRemainder": receive_len_remainder,
+    "receiveQuotientChunk": receive_quotient_chunk,
+    "receiveQuotientChunk_short": receive_quotient_chunk,
+    "receiveRemainderChunk": receive_remainder_chunk,
+    "receiveRemainderChunk_short": receive_remainder_chunk,
 }
 
 
