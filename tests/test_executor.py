@@ -129,9 +129,11 @@ def test_mini_program_free_function_and_storage():
         {"CONST": 0},
     ]
 
+    from xlayer_prover_tpu.executor.main_sm import MainExecutor as ME
+
     def read_slot(c):
-        return c.hashdb.get(c.batch_uuid, tuple(c.regs.SR[0:4]),
-                            tuple(c.regs.C[0:4])).value
+        return c.hashdb.get(c.batch_uuid, ME._root_quad(c.regs.SR),
+                            ME._storage_key(c.regs)).value
 
     ctx = _run(prog, {"start": 0, "finalizeExecution": 4},
                functions={"answer": lambda c: 424242, "readSlot": read_slot})

@@ -42,6 +42,9 @@ FR_LAST_32_POSITIVE = (1 << 32) - 1
 
 ZERO8 = [0] * 8
 
+# functions whose params are passed unevaluated (tracer event hooks)
+RAW_PARAM_FUNCTIONS = {"eventLog", "onOpcode", "storeLog"}
+
 
 def fea_to_scalar(fea8) -> int:
     """8 field limbs -> 256-bit scalar; limbs must be < 2^32 (fea2scalar)."""
@@ -192,20 +195,27 @@ class MainExecutor:
             fn = self.functions.get(name)
             if fn is None:
                 raise CommandError(f"unimplemented ROM function {name}")
+            if name in RAW_PARAM_FUNCTIONS:
+                # tracer hooks receive the raw command trees (the reference
+                # eval_eventLog treats params as event names, not values)
+                return fn(ctx, *cmd.get("params", []))
             params = [self.eval_command(ctx, p) for p in cmd.get("params", [])]
             return fn(ctx, *params)
         raise CommandError(f"unknown command op {op}")
 
     @staticmethod
     def _binop(op, vals):
+        # command-tree arithmetic is UNBOUNDED (the reference evaluates
+        # commands over mpz; e.g. mulFpEc relies on the full 512-bit A*B
+        # before >> 256) — only the op-accumulator limbs are field-sized
         a = vals[0]
         b = vals[1] if len(vals) > 1 else 0
         if op == "add":
-            return (a + b) & MASK256
+            return a + b
         if op == "sub":
-            return (a - b) & MASK256
+            return a - b
         if op == "mul":
-            return (a * b) & MASK256
+            return a * b
         if op == "div":
             return a // b if b else 0
         if op == "mod":
@@ -219,7 +229,7 @@ class MainExecutor:
         if op == "bitnot":
             return a ^ MASK256
         if op == "shl":
-            return (a << b) & MASK256
+            return a << b
         if op == "shr":
             return a >> b
         if op == "lt":
@@ -367,7 +377,8 @@ class MainExecutor:
 
         if line.flag("bin"):
             self._do_binary(ctx, line, op)
-        if line.flag("arith"):
+        if line.flag("arith") or any(line.flag(f"arithEq{i}")
+                                     for i in range(6)):
             self._do_arith(ctx, line, op)
         if line.flag("sRD") or line.flag("sWR"):
             self._do_storage(ctx, line, op)
@@ -429,10 +440,80 @@ class MainExecutor:
 
     # ------------------------------------------------------------------
     def _free_in_default(self, ctx, line):
-        """Free input for untagged reads (memory etc.)."""
+        """Free input for untagged ops: derived from the operation itself
+        (reference calculateFreeInput semantics) — memory reads, binary
+        results, storage reads, hash digests."""
         if line.flag("mOp") and not line.flag("mWR"):
             return list(ctx.mem.get(self._addr(ctx, line), ZERO8))
+        if line.flag("bin"):
+            res, _carry = self._binary_result(line.bin_opcode,
+                                              fea_to_scalar(ctx.regs.A),
+                                              fea_to_scalar(ctx.regs.B))
+            return scalar_to_fea(res)
+        if line.flag("sRD"):
+            res = ctx.hashdb.get(ctx.batch_uuid,
+                                 self._root_quad(ctx.regs.SR),
+                                 self._storage_key(ctx.regs))
+            return scalar_to_fea(res.value)
+        for prefix, table in (("hashK", ctx.hash_k), ("hashP", ctx.hash_p),
+                              ("hashS", ctx.hash_s)):
+            if line.flag(prefix + "Digest"):
+                addr = self._addr(ctx, line)
+                st = table.setdefault(addr, HashState())
+                return scalar_to_fea(self._hash_digest(st, prefix))
         return list(ZERO8)
+
+    @staticmethod
+    def _hash_digest(st: "HashState", prefix: str) -> int:
+        if st.digest is None:
+            if prefix == "hashK":
+                st.digest = int.from_bytes(keccak256(bytes(st.data)), "big")
+            elif prefix == "hashS":
+                import hashlib
+                st.digest = int.from_bytes(
+                    hashlib.sha256(bytes(st.data)).digest(), "big")
+            else:
+                # hashP: Poseidon linear hash over 7-byte elements
+                # (reference poseidonLinearHash); digest scalar packs the
+                # four 64-bit outputs as h0 | h1<<64 | h2<<128 | h3<<192
+                from ..state.witness import _linear_hash_bytes
+                h = _linear_hash_bytes(bytes(st.data))
+                st.digest = (h[0] | (h[1] << 64) | (h[2] << 128)
+                             | (h[3] << 192))
+        return st.digest
+
+    @staticmethod
+    def _binary_result(opcode: int, a: int, b: int):
+        """(result, carry) of a 256-bit binary op (shared by the free-input
+        derivation and the bin consistency check)."""
+        if opcode == 0:      # ADD
+            return (a + b) & MASK256, int(a + b > MASK256)
+        if opcode == 1:      # SUB
+            return (a - b) & MASK256, int(a < b)
+        if opcode == 2:      # LT
+            r = int(a < b)
+            return r, r
+        if opcode == 3:      # SLT
+            sa = a - (1 << 256) if a >> 255 else a
+            sb = b - (1 << 256) if b >> 255 else b
+            r = int(sa < sb)
+            return r, r
+        if opcode == 4:      # EQ
+            r = int(a == b)
+            return r, r
+        if opcode == 5:      # AND
+            r = a & b
+            return r, int(r != 0)
+        if opcode == 6:      # OR
+            return a | b, 0
+        if opcode == 7:      # XOR
+            return a ^ b, 0
+        if opcode == 8:      # LT4
+            r = int(all(((a >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
+                        < ((b >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
+                        for i in range(4)))
+            return r, r
+        raise ZkError(ZkResult.PROVER_ERROR, f"bad binOpcode {opcode}")
 
     def _do_binary(self, ctx: Context, line: RomLine, op):
         regs = ctx.regs
@@ -441,38 +522,7 @@ class MainExecutor:
         res = fea_to_scalar(op)
         opcode = line.bin_opcode
         ctx.counters.binary += 1
-        carry = 0
-        if opcode == 0:      # ADD
-            expected = (a + b) & MASK256
-            carry = int(a + b > MASK256)
-        elif opcode == 1:    # SUB
-            expected = (a - b) & MASK256
-            carry = int(a < b)
-        elif opcode == 2:    # LT
-            expected = int(a < b)
-            carry = expected
-        elif opcode == 3:    # SLT
-            sa = a - (1 << 256) if a >> 255 else a
-            sb = b - (1 << 256) if b >> 255 else b
-            expected = int(sa < sb)
-            carry = expected
-        elif opcode == 4:    # EQ
-            expected = int(a == b)
-            carry = expected
-        elif opcode == 5:    # AND
-            expected = a & b
-            carry = int(expected != 0)
-        elif opcode == 6:    # OR
-            expected = a | b
-        elif opcode == 7:    # XOR
-            expected = a ^ b
-        elif opcode == 8:    # LT4 (4 x 64-bit lanes less-than)
-            expected = int(all(((a >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
-                               < ((b >> (64 * i)) & 0xFFFFFFFFFFFFFFFF)
-                               for i in range(4)))
-            carry = expected
-        else:
-            raise ZkError(ZkResult.PROVER_ERROR, f"bad binOpcode {opcode}")
+        expected, carry = self._binary_result(opcode, a, b)
         if res != expected:
             raise ZkError(ZkResult.PROVER_ERROR,
                           f"binary check fails zkPC={line.zkpc}")
@@ -480,33 +530,93 @@ class MainExecutor:
         ctx.required.binary.append((opcode, a, b, res, carry))
 
     def _do_arith(self, ctx: Context, line: RomLine, op):
-        """arithEq0: A*B + C = D*2^256 + op (the base 256-bit mul-add)."""
+        """Arith equation checks (reference sm_arith_eq0..eq5):
+        eq0: A*B + C = D*2^256 + op (256-bit mul-add)
+        eq1: secp256k1 point add (different points): (A,B)+(C,D) = (E, op)
+        eq2: secp256k1 point double: 2*(A,B) = (E, op)
+        eq3: BN254 Fp2 mul: (A+iB)*(C+iD) = E + i*op
+        eq4: BN254 Fp2 add ; eq5: BN254 Fp2 sub."""
         regs = ctx.regs
         ctx.counters.arith += 1
+        a = fea_to_scalar(regs.A)
+        b = fea_to_scalar(regs.B)
+        c = fea_to_scalar(regs.C)
+        d = fea_to_scalar(regs.D)
+        e = fea_to_scalar(regs.E)
+        res = fea_to_scalar(op)
         if line.flag("arithEq0") or not any(
                 line.flag(f"arithEq{i}") for i in range(6)):
-            a = fea_to_scalar(regs.A)
-            b = fea_to_scalar(regs.B)
-            c = fea_to_scalar(regs.C)
-            d = fea_to_scalar(regs.D)
-            res = fea_to_scalar(op)
             if a * b + c != (d << 256) + res:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"arithEq0 fails zkPC={line.zkpc}")
             ctx.required.arith.append((0, a, b, c, d, res))
-        else:
-            # EC equations (arithEq1..5) land with the Arith SM work
+            return
+        SECP_P = 2 ** 256 - 2 ** 32 - 977
+        BN_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+        if line.flag("arithEq1") or line.flag("arithEq2"):
+            if line.flag("arithEq1"):
+                if (c - a) % SECP_P == 0:
+                    raise ZkError(ZkResult.PROVER_ERROR, "ECADD x1 == x2")
+                slope = ((d - b) * pow(c - a, SECP_P - 2, SECP_P)) % SECP_P
+                x3 = (slope * slope - a - c) % SECP_P
+            else:
+                slope = (3 * a * a * pow(2 * b, SECP_P - 2, SECP_P)) % SECP_P
+                x3 = (slope * slope - 2 * a) % SECP_P
+            y3 = (slope * (a - x3) - b) % SECP_P
+            if e != x3 or res != y3:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"EC arith fails zkPC={line.zkpc}")
+            ctx.required.arith.append((1 if line.flag("arithEq1") else 2,
+                                       a, b, c, d, res))
+            return
+        if line.flag("arithEq3"):   # Fp2 mul
+            x3 = (a * c - b * d) % BN_P
+            y3 = (a * d + b * c) % BN_P
+        elif line.flag("arithEq4"):  # Fp2 add
+            x3 = (a + c) % BN_P
+            y3 = (b + d) % BN_P
+        else:                        # arithEq5: Fp2 sub
+            x3 = (a - c) % BN_P
+            y3 = (b - d) % BN_P
+        if e != x3 or res != y3:
             raise ZkError(ZkResult.PROVER_ERROR,
-                          "arith EC equations not implemented yet")
+                          f"BN254 Fp2 arith fails zkPC={line.zkpc}")
+        ctx.required.arith.append((3, a, b, c, d, res))
+
+    @staticmethod
+    def _storage_key(regs):
+        """Poseidon key from registers (main_executor.cpp:1080-1115):
+        Kin0 = C limbs (slot), Kin1 = A0..A5 (address), B0,B1 (leaf type),
+        capacity = Poseidon(Kin0)."""
+        from ..native import poseidon_permute
+        kin0 = [int(v) for v in regs.C] + [0, 0, 0, 0]
+        cap = poseidon_permute(kin0)[:4]
+        kin1 = [int(v) for v in regs.A[0:6]] + [int(regs.B[0]),
+                                                int(regs.B[1])] + list(cap)
+        return tuple(poseidon_permute(kin1)[:4])
+
+    @staticmethod
+    def _root_quad(sr8):
+        """8x32-bit SR limbs -> 4x64-bit SMT root quad."""
+        return tuple((int(sr8[2 * j]) | (int(sr8[2 * j + 1]) << 32))
+                     for j in range(4))
+
+    @staticmethod
+    def _quad_to_sr8(quad):
+        out = []
+        for v in quad:
+            out.append(int(v) & 0xFFFFFFFF)
+            out.append((int(v) >> 32) & 0xFFFFFFFF)
+        return out
 
     def _do_storage(self, ctx: Context, line: RomLine, op):
         regs = ctx.regs
-        key = tuple(regs.C[0:4])
-        old_root = tuple(regs.SR[0:4])
+        key = self._storage_key(regs)
+        old_root = self._root_quad(regs.SR)
         if line.flag("sWR"):
             value = fea_to_scalar(regs.D)
             res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
-            regs.SR = list(res.new_root) + [0, 0, 0, 0]
+            regs.SR = self._quad_to_sr8(res.new_root)
             ctx.required.storage.append(("SET", key, value, res.new_root))
             ctx.counters.poseidon_g += 1
         else:
@@ -537,23 +647,6 @@ class MainExecutor:
         elif line.flag(prefix + "Len"):
             st.len = op[0]
         elif line.flag(prefix + "Digest"):
-            if st.digest is None:
-                if prefix == "hashK":
-                    st.digest = int.from_bytes(keccak256(bytes(st.data)), "big")
-                elif prefix == "hashS":
-                    import hashlib
-                    st.digest = int.from_bytes(
-                        hashlib.sha256(bytes(st.data)).digest(), "big")
-                else:
-                    from ..state.smt import hash_node
-                    # Poseidon linear hash over 7-byte chunks (hashP digest)
-                    acc = [0, 0, 0, 0]
-                    data = bytes(st.data)
-                    for i in range(0, len(data), 32):
-                        chunk = data[i:i + 32].ljust(32, b"\x00")
-                        limbs = scalar_to_fea(int.from_bytes(chunk, "big"))
-                        acc = list(hash_node(limbs, tuple(acc)))
-                    st.digest = fea_to_scalar(acc + [0, 0, 0, 0])
-            if fea_to_scalar(op) != st.digest:
+            if fea_to_scalar(op) != self._hash_digest(st, prefix):
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"{prefix}Digest mismatch at zkPC={line.zkpc}")

@@ -118,45 +118,58 @@ def _ec_dbl(x1, y1):
     return x3, y3
 
 
-def x_add_point_ec(ctx):
-    (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
+def x_add_point_ec(ctx, *params):
+    if len(params) == 4:
+        x1, y1, x2, y2 = (int(v) for v in params)
+    else:
+        (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
     return _ec_add(x1, y1, x2, y2)[0]
 
 
-def y_add_point_ec(ctx):
-    (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
+def y_add_point_ec(ctx, *params):
+    if len(params) == 4:
+        x1, y1, x2, y2 = (int(v) for v in params)
+    else:
+        (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
     return _ec_add(x1, y1, x2, y2)[1]
 
 
-def x_dbl_point_ec(ctx):
-    x1, y1 = _regs_point1(ctx)
+def x_dbl_point_ec(ctx, *params):
+    if len(params) == 2:
+        x1, y1 = (int(v) for v in params)
+    else:
+        x1, y1 = _regs_point1(ctx)
     return _ec_dbl(x1, y1)[0]
 
 
-def y_dbl_point_ec(ctx):
-    x1, y1 = _regs_point1(ctx)
+def y_dbl_point_ec(ctx, *params):
+    if len(params) == 2:
+        x1, y1 = (int(v) for v in params)
+    else:
+        x1, y1 = _regs_point1(ctx)
     return _ec_dbl(x1, y1)[1]
 
 
-def inverse_fp_ec(ctx):
-    a = fea_to_scalar(ctx.regs.A) % SECP_P
+def inverse_fp_ec(ctx, a=None):
+    a = (int(a) if a is not None else fea_to_scalar(ctx.regs.A)) % SECP_P
     if a == 0:
         raise ZeroDivisionError("inverseFpEc(0)")
     return pow(a, SECP_P - 2, SECP_P)
 
 
-def inverse_fn_ec(ctx):
-    a = fea_to_scalar(ctx.regs.A) % SECP_N
+def inverse_fn_ec(ctx, a=None):
+    a = (int(a) if a is not None else fea_to_scalar(ctx.regs.A)) % SECP_N
     if a == 0:
         raise ZeroDivisionError("inverseFnEc(0)")
     return pow(a, SECP_N - 2, SECP_N)
 
 
-def sqrt_fp_ec_parity(ctx):
-    """sqrt of C with the parity requested in D; the 'no root' sentinel
-    follows the reference (returns field -1 marker via scalar)."""
-    a = fea_to_scalar(ctx.regs.C) % SECP_P
-    parity = fea_to_scalar(ctx.regs.D) & 1
+def sqrt_fp_ec_parity(ctx, a=None, parity=None):
+    """sqrt with the requested parity; the 'no root' sentinel follows the
+    reference (0xff..ff marker)."""
+    a = (int(a) if a is not None else fea_to_scalar(ctx.regs.C)) % SECP_P
+    parity = (int(parity) if parity is not None
+              else fea_to_scalar(ctx.regs.D)) & 1
     r = pow(a, (SECP_P + 1) // 4, SECP_P)
     if (r * r) % SECP_P != a:
         return (1 << 256) - 1  # ECRecover no-sqrt marker
@@ -169,8 +182,8 @@ def sqrt_fp_ec_parity(ctx):
 # BN254 Fp / Fp2 helpers
 # ---------------------------------------------------------------------------
 
-def fp_bn254_inv(ctx):
-    a = fea_to_scalar(ctx.regs.A) % BN254_P
+def fp_bn254_inv(ctx, a=None):
+    a = (int(a) if a is not None else fea_to_scalar(ctx.regs.A)) % BN254_P
     if a == 0:
         raise ZeroDivisionError("fpBN254inv(0)")
     return pow(a, BN254_P - 2, BN254_P)
