@@ -135,6 +135,33 @@ def main():
     jax.block_until_ready(tree_root(y2))
     dt_tree = time.perf_counter() - t0
 
+    # --- zkEVM executor (host): real fork_9 ROM on a testvector ---------
+    executor_steps_per_s = None
+    try:
+        import os
+        vec = "/root/reference/testvectors/e2e/fork_9/input_executor_0.json"
+        if os.path.exists(vec):
+            from xlayer_prover_tpu.executor import rom_functions as rf
+            from xlayer_prover_tpu.executor.input import BatchInput
+            from xlayer_prover_tpu.executor.main_sm import Context, MainExecutor
+            from xlayer_prover_tpu.executor.rom import Rom
+            from xlayer_prover_tpu.state.hashdb import HashDB
+            rom = Rom.load(
+                "/root/reference/src/main_sm/fork_9/scripts/rom.json")
+            ex = Rom and MainExecutor(rom, max_steps=1 << 22)
+            rf.register_all(ex)
+            inp = BatchInput.load(vec)
+            hdb = HashDB()
+            inp.load_db(hdb)
+            ctx = Context(rom, hdb, input_vars=inp.input_vars())
+            inp.setup_registers(ctx)
+            t0 = time.perf_counter()
+            ex.execute(ctx)
+            executor_steps_per_s = round(
+                ctx.counters.steps / (time.perf_counter() - t0))
+    except Exception:
+        pass
+
     line = {
         "metric": "goldilocks_ntt_2e20x4_throughput",
         "value": round(ntt_eps / 1e6, 2),
@@ -145,6 +172,7 @@ def main():
         "merkle_tree_2e16_ms": round(dt_tree * 1e3, 2),
         "forced": bool(forced and forced_h),
         "tunnel_transfers_ok": bool(tunnel_ok),
+        "executor_steps_per_s": executor_steps_per_s,
     }
     print(json.dumps(line))
 
