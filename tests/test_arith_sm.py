@@ -31,12 +31,7 @@ def test_expander_semantics(rng):
         assert a * b + c == (d << 16) + e
 
 
-@pytest.mark.skip(reason="XLA CPU compile of this air is pathological "
-                  "(>45 CPU-min even for the 2-limb instance; see "
-                  "ROADMAP.md perf item — suspected constant-folding blowup "
-                  "in the multi-lookup quotient graph). The circuit "
-                  "semantics are covered by the expander test and the "
-                  "multi-row-shift machinery by the e2e suite.")
+@pytest.mark.slow
 def test_arith_proves_and_verifies(rng):
     air, layout = _build()
     const_np = np.zeros((air.n, air.const_width), dtype=np.uint64)

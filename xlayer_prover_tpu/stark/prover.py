@@ -148,6 +148,20 @@ def _challenges_env(ch_arr):
     return {s: tuple(ch_arr[s, k] for k in range(3)) for s in range(8)}
 
 
+def _use_jit_pipelines() -> bool:
+    """Jit the round-4/5 pipelines only on accelerators: XLA CPU compile of
+    the big constraint graphs is pathological (tens of minutes for lookup-
+    heavy airs), while eager op-by-op dispatch reuses small cached kernels
+    and finishes in seconds-to-minutes.  On TPU the one-off compile buys
+    millisecond dispatch for production proving."""
+    import jax
+    import os
+    override = os.environ.get("XLAYER_PROVER_JIT_ROUNDS")
+    if override is not None:
+        return override not in ("0", "false", "no")
+    return jax.default_backend() != "cpu"
+
+
 def get_air_jits(air):
     """Returns dict with 'quotient' and 'round5' jitted functions for `air`.
 
@@ -248,7 +262,10 @@ def get_air_jits(air):
             v2_pow = gl3.mul(v2_pow, v2)
         return evals_arr, fri_pol
 
-    jits = {"quotient": jax.jit(quotient), "round5": jax.jit(round5)}
+    if _use_jit_pipelines():
+        jits = {"quotient": jax.jit(quotient), "round5": jax.jit(round5)}
+    else:
+        jits = {"quotient": quotient, "round5": round5}
     _AIR_JITS[key] = (air, jits)
     return jits
 
