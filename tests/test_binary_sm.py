@@ -8,7 +8,7 @@ from xlayer_prover_tpu.stark import prover, verifier
 from xlayer_prover_tpu.stark.air import AirBuilder
 
 
-def _build(n_bits=11, chunk_bits=4):
+def _build(n_bits=11, chunk_bits=2):
     b = AirBuilder("binary-sm", n_bits, n_queries=4, fri_fold_bits=3)
     layout = binary_sm.build(b, n_bits, chunk_bits)
     air = b.compile()

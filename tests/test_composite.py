@@ -9,7 +9,7 @@ from xlayer_prover_tpu.stark import prover, verifier
 
 @pytest.fixture(scope="module")
 def comp():
-    air, layout = composite.build(n_bits=11, chunk_bits=4, n_queries=4)
+    air, layout = composite.build(n_bits=11, chunk_bits=2, n_queries=4)
     return air, layout
 
 

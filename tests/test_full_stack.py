@@ -35,7 +35,7 @@ def test_program_to_proof():
     rom = Rom.from_json({"program": _program(),
                          "labels": {"start": 0, "finalizeExecution": 6},
                          "constants": {}})
-    ex = Executor(rom, n_bits=11, chunk_bits=4, n_queries=4, max_steps=50)
+    ex = Executor(rom, n_bits=11, chunk_bits=2, limb_bits=4, n_queries=4, max_steps=50)
     a, b = 123456789123456789, 987654321987654321
     ex.functions["binResult"] = lambda c: a + b
     ex.functions["xorResult"] = lambda c: a ^ b

@@ -1,0 +1,160 @@
+"""End-to-end zkEVM circuit proofs: Main SM columns committed with the
+rom_line algebra as constraints, bound to Binary/Arith/Memory SMs.
+
+Fast test: a synthetic mini-ROM exercising setters, CONST/CONSTL, all jump
+forms, call/return, repeat, binary ops (ADD with carry, LT, EQ), a memory
+write/read pair, an arithEq0 mul-add and assert — proven and verified at
+n_bits=13.  The slow test proves the real fork_9 ROM on reference
+testvector 0 at n_bits=16 (tests/test_real_rom.py covers pure execution).
+"""
+
+import numpy as np
+import pytest
+
+from xlayer_prover_tpu.executor.executor import Executor
+from xlayer_prover_tpu.executor.rom import Rom
+from xlayer_prover_tpu.state.hashdb import HashDB
+from xlayer_prover_tpu.stark import prover, verifier
+
+TWO255 = 1 << 255
+
+
+def mini_rom():
+    """A small program covering the Main SM constraint surface."""
+    prog = []
+
+    def line(**kw):
+        prog.append(kw)
+        return len(prog) - 1
+
+    labels = {}
+    labels["start"] = line(CONSTL=5, setA=1)                  # A = 5
+    line(CONSTL=7, setB=1)                                    # B = 7
+    line(CONSTL=2, setC=1)                                    # C = 2
+    # binary ADD via Binary SM: D = A + B = 12
+    line(freeInTag={}, inFREE=1, bin=1, binOpcode=0, setD=1)
+    # memory write: mem[10] = D
+    line(inD=1, mOp=1, mWR=1, offset=10)
+    # memory read into E
+    line(freeInTag={}, inFREE=1, mOp=1, offset=10, setE=1)
+    # JMPZ taken: op = E - 12 == 0
+    t0 = line(inE=1, CONST=-12, JMPZ=1, useJmpAddr=1, jmpAddr=None)
+    line(CONSTL=999, setA=1)             # skipped
+    prog[t0]["jmpAddr"] = len(prog)
+    # arith eq0: A*B + C = 0*2^256 + 37 (D must hold the high part, 0)
+    line(CONSTL=0, setD=1)
+    line(freeInTag={"op": "number", "num": 37}, inFREE=1, arithEq0=1,
+         setA=1)                          # A = 37
+    line(CONSTL=37, **{"assert": 1})      # assert A == 37
+    # JMPN taken on negative
+    t1 = line(CONST=-1, JMPN=1, useJmpAddr=1, jmpAddr=None)
+    line(CONSTL=998, setA=1)             # skipped
+    prog[t1]["jmpAddr"] = len(prog)
+    # binary LT: A=37 < B=7? no -> carry 0, JMPC falls through
+    line(freeInTag={}, inFREE=1, bin=1, binOpcode=2, setD=1)
+    t2 = line(JMPC=1, useJmpAddr=1, jmpAddr=0)   # not taken
+    # binary EQ: B == B -> carry 1, JMPC taken
+    line(inB=1, setA=1)                  # A = B
+    line(freeInTag={}, inFREE=1, bin=1, binOpcode=4, setD=1)
+    t3 = line(JMPC=1, useJmpAddr=1, jmpAddr=None)
+    line(CONSTL=997, setA=1)             # skipped
+    prog[t3]["jmpAddr"] = len(prog)
+    # call / return
+    t4 = line(call=1, useJmpAddr=1, jmpAddr=None)
+    after_call = len(prog)
+    # repeat: RCX = 3, decrement to zero on one line
+    line(CONST=3, setRCX=1)
+    line(repeat=1, inRCX=1)
+    jmp_end = line(JMP=1, useJmpAddr=1, jmpAddr=None)
+    # the called subroutine
+    prog[t4]["jmpAddr"] = len(prog)
+    line(CONSTL=1, setE=1)
+    line(**{"return": 1})
+    # finalize
+    prog[jmp_end]["jmpAddr"] = len(prog)
+    labels["finalizeExecution"] = len(prog)
+    line()   # the stop line itself (never executed)
+    return Rom.from_json({"program": prog, "labels": labels,
+                          "constants": {}})
+
+
+@pytest.fixture(scope="module")
+def mini_exec():
+    rom = mini_rom()
+    ex = Executor(rom, n_bits=13, chunk_bits=2, limb_bits=8, n_queries=4,
+                  max_steps=1 << 12)
+    res = ex.execute(HashDB())
+    return ex, res
+
+
+def test_mini_rom_executes(mini_exec):
+    ex, res = mini_exec
+    ctx = res.ctx
+    assert ctx.done
+    assert ctx.counters.binary == 3
+    assert ctx.counters.arith == 1
+    assert len(ctx.required.memory) == 2
+    assert res.cm1_np is not None and res.const_np is not None
+
+
+@pytest.mark.slow
+def test_mini_rom_proof_roundtrip(mini_exec):
+    ex, res = mini_exec
+    setup = prover.Setup.build(ex.air, res.const_np)
+    proof = prover.gen_proof(setup, res.cm1_np, res.publics)
+    assert verifier.verify(ex.air, setup.verkey, proof)
+
+
+@pytest.mark.slow
+def test_mini_rom_tampered_register_fails(mini_exec):
+    ex, res = mini_exec
+    setup = prover.Setup.build(ex.air, res.const_np)
+    bad = res.cm1_np.copy()
+    # corrupt a committed register value mid-trace
+    col = ex.layout.main.witness["A0"].index
+    bad[2, col] = (bad[2, col] + 1) % prover.P
+    proof = prover.gen_proof(setup, bad, res.publics)
+    with pytest.raises(verifier.VerifyError):
+        verifier.verify(ex.air, setup.verkey, proof)
+
+
+@pytest.mark.slow
+def test_mini_rom_wrong_public_fails(mini_exec):
+    ex, res = mini_exec
+    setup = prover.Setup.build(ex.air, res.const_np)
+    bad = list(res.publics)
+    bad[0] = (bad[0] + 1) % prover.P
+    proof = prover.gen_proof(setup, res.cm1_np, bad)
+    with pytest.raises(verifier.VerifyError):
+        verifier.verify(ex.air, setup.verkey, proof)
+
+
+# ---------------------------------------------------------------------------
+# the real thing: fork_9 ROM on reference testvector 0
+# ---------------------------------------------------------------------------
+
+REF_ROM = "/root/reference/src/main_sm/fork_9/scripts/rom.json"
+REF_VEC = "/root/reference/testvectors/e2e/fork_9/input_executor_0.json"
+
+
+@pytest.mark.slow
+def test_real_batch_proof():
+    import os
+    if not (os.path.exists(REF_ROM) and os.path.exists(REF_VEC)):
+        pytest.skip("reference testvectors not present")
+    from xlayer_prover_tpu.executor import rom_functions as rf
+    from xlayer_prover_tpu.executor.input import BatchInput
+
+    rom = Rom.load(REF_ROM)
+    ex = Executor(rom, n_bits=16, chunk_bits=4, limb_bits=16, n_queries=8,
+                  max_steps=1 << 15)
+    rf.register_all(ex.main)
+    inp = BatchInput.load(REF_VEC)
+    hdb = HashDB()
+    inp.load_db(hdb)
+    res = ex.execute(hdb, input_vars=inp.input_vars(),
+                     setup_registers=inp.setup_registers)
+    assert res.ctx.done
+    setup = prover.Setup.build(ex.air, res.const_np)
+    proof = prover.gen_proof(setup, res.cm1_np, res.publics)
+    assert verifier.verify(ex.air, setup.verkey, proof)

@@ -1,12 +1,14 @@
 """Executor: Main SM run -> secondary-SM trace expansion -> provable trace.
 
 Equivalent of the reference Executor (src/executor/executor.cpp): the Main
-SM interpreter produces action vectors (Required); the secondary SM
-expanders fill their column groups of the shared-domain composite circuit
-(the reference runs the 13 expanders as a pthread DAG over one 751-column
-buffer; here each expander is an independent vectorized fill feeding one
-AIR).  ``process_batch`` is the fast path (execute only, no trace);
-``execute`` returns the full proving payload.
+SM interpreter produces per-step trace records plus action vectors
+(Required); the trace is committed as the Main SM column group and the
+secondary SM expanders fill their column groups of the shared-domain zkEVM
+circuit (the reference runs 13 expanders as a pthread DAG over one
+751-column buffer, executor.cpp:647-702; here each expander is an
+independent vectorized fill feeding one AIR).  ``process_batch`` is the
+fast path (execute only, no trace); ``execute`` returns the full proving
+payload: const/cm1 numpy columns + publics for stark.prover.gen_proof.
 """
 
 from __future__ import annotations
@@ -16,14 +18,12 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-from ..models.zkevm import binary_sm, composite
+from ..models.zkevm import zkevm_air
 from ..state.hashdb import HashDB
 from ..utils.log import zklog
 from ..utils.timer import timer
 from .main_sm import Context, MainExecutor, Required
 from .rom import Rom
-
-_OPCODE_NAMES = {v: k for k, v in binary_sm.OPCODES.items()}
 
 
 @dataclasses.dataclass
@@ -35,15 +35,21 @@ class ExecutionResult:
 
 
 class Executor:
-    """Owns the composite circuit geometry + the Main SM machine."""
+    """Owns the zkEVM circuit geometry + the Main SM machine."""
 
-    def __init__(self, rom: Rom, n_bits: int = 11, chunk_bits: int = 4,
-                 n_queries: int = 4, max_steps: int = 1 << 16):
+    def __init__(self, rom: Rom, n_bits: int = 16, chunk_bits: int = 4,
+                 limb_bits: int = 16, n_queries: int = 8,
+                 max_steps: int = 1 << 22,
+                 start_label: str = "start",
+                 stop_label: str = "finalizeExecution"):
         self.rom = rom
+        self.start_label = start_label
+        self.stop_label = stop_label
         self.main = MainExecutor(rom, max_steps=max_steps)
-        self.air, self.layout = composite.build(n_bits=n_bits,
-                                                chunk_bits=chunk_bits,
-                                                n_queries=n_queries)
+        self.air, self.layout = zkevm_air.build(
+            rom, n_bits=n_bits, chunk_bits=chunk_bits, limb_bits=limb_bits,
+            n_queries=n_queries, start_label=start_label,
+            stop_label=stop_label)
 
     @property
     def functions(self) -> Dict[str, Callable]:
@@ -51,33 +57,45 @@ class Executor:
 
     def process_batch(self, hashdb: HashDB, batch_uuid: str = "batch",
                       input_vars: Optional[dict] = None,
-                      start_label: str = "start",
-                      stop_label: str = "finalizeExecution") -> Context:
+                      trace: bool = False) -> Context:
         """Fast path: execute only (the sequencer's ProcessBatch)."""
         ctx = Context(self.rom, hashdb, batch_uuid, input_vars)
+        if trace:
+            ctx.trace = []
         with timer("executor.process_batch", log=False):
-            self.main.execute(ctx, start_label, stop_label)
+            self.main.execute(ctx, self.start_label, self.stop_label)
         return ctx
 
     def execute(self, hashdb: HashDB, batch_uuid: str = "batch",
                 input_vars: Optional[dict] = None,
-                start_label: str = "start",
-                stop_label: str = "finalizeExecution") -> ExecutionResult:
-        """Full path: execute + expand all SM traces into the composite."""
-        ctx = self.process_batch(hashdb, batch_uuid, input_vars,
-                                 start_label, stop_label)
+                setup_registers=None) -> ExecutionResult:
+        """Full path: execute + commit the Main trace + expand all SMs."""
+        ctx = Context(self.rom, hashdb, batch_uuid, input_vars)
+        ctx.trace = []
+        if setup_registers is not None:
+            setup_registers(ctx)
+        with timer("executor.main_sm", log=False):
+            self.main.execute(ctx, self.start_label, self.stop_label)
         req: Required = ctx.required
 
-        bin_actions = [(_OPCODE_NAMES[op], a, b)
-                       for (op, a, b, _res, _carry) in req.binary
-                       if op in _OPCODE_NAMES]
-        mem_actions = list(req.memory)
-
+        regs = ctx.regs
+        final_regs = {
+            "A": list(regs.A), "B": list(regs.B), "C": list(regs.C),
+            "D": list(regs.D), "E": list(regs.E), "SR": list(regs.SR),
+            "CTX": regs.CTX, "SP": regs.SP, "PC": regs.PC, "GAS": regs.GAS,
+            "RR": regs.RR, "HASHPOS": regs.HASHPOS, "RCX": regs.RCX,
+            "carry": ctx.carry,
+            "counters": (ctx.counters.arith, ctx.counters.binary,
+                         ctx.counters.keccak_f, ctx.counters.sha256_f,
+                         ctx.counters.mem_align, ctx.counters.padding_pg,
+                         ctx.counters.poseidon_g),
+        }
         with timer("executor.expand_traces", log=False):
-            const_np, cm1_np, results = composite.gen_trace(
-                self.air, self.layout, bin_actions, mem_actions)
+            const_np, cm1_np, publics = zkevm_air.gen_trace(
+                self.air, self.layout, ctx.trace, final_regs, req)
         zklog.info(f"executor: {ctx.counters.steps} steps, "
-                   f"{len(bin_actions)} binary ops, "
-                   f"{len(mem_actions)} memory accesses")
+                   f"{len(req.binary)} binary ops, "
+                   f"{len(req.memory)} memory accesses, "
+                   f"{sum(1 for a in req.arith if a[0] == 0)} eq0 ariths")
         return ExecutionResult(ctx=ctx, const_np=const_np, cm1_np=cm1_np,
-                               publics=[])
+                               publics=publics)

@@ -139,6 +139,10 @@ class Context:
         self.done = False
         self.step = 0
         self.max_steps = 1 << 23
+        # when not None, execute_line appends per-step trace records for
+        # the Main SM polynomial commitment (models/zkevm/main_sm_air.py)
+        self.trace: Optional[list] = None
+        self._hash_bytes = 0
 
 
 class CommandError(ZkError):
@@ -153,6 +157,15 @@ class MainExecutor:
         self.rom = rom
         self.max_steps = max_steps
         self.functions: Dict[str, Callable] = {}
+        self._enc_cache: Dict[int, dict] = {}
+
+    def _line_encoding(self, line: RomLine) -> dict:
+        enc = self._enc_cache.get(line.zkpc)
+        if enc is None:
+            from ..models.zkevm.main_sm_air import encode_line
+            enc = encode_line(line)
+            self._enc_cache[line.zkpc] = enc
+        return enc
 
     # ------------------------------------------------------------------
     # command-tree evaluation (reference eval_command.cpp expression ops)
@@ -291,6 +304,23 @@ class MainExecutor:
 
     def execute_line(self, ctx: Context, line: RomLine, step: int):
         regs = ctx.regs
+        if ctx.trace is not None:
+            rec = {
+                "zkPC": regs.zkPC,
+                "regs": {
+                    "A": list(regs.A), "B": list(regs.B), "C": list(regs.C),
+                    "D": list(regs.D), "E": list(regs.E), "SR": list(regs.SR),
+                    "CTX": regs.CTX, "SP": regs.SP, "PC": regs.PC,
+                    "GAS": regs.GAS, "RR": regs.RR,
+                    "HASHPOS": regs.HASHPOS, "RCX": regs.RCX,
+                },
+                "counters": (ctx.counters.arith, ctx.counters.binary,
+                             ctx.counters.keccak_f, ctx.counters.sha256_f,
+                             ctx.counters.mem_align, ctx.counters.padding_pg,
+                             ctx.counters.poseidon_g),
+                "enc": self._line_encoding(line),
+            }
+            ctx._hash_bytes = 0
         for cmd in line.cmd_before:
             self.eval_command(ctx, cmd)
 
@@ -434,6 +464,15 @@ class MainExecutor:
                 next_pc = regs.zkPC
 
         regs.zkPC = next_pc
+
+        if ctx.trace is not None:
+            rec["op"] = list(op)
+            rec["free"] = list(fi8) if fi8 is not None else list(ZERO8)
+            rec["carry"] = ctx.carry
+            rec["binCarry"] = ctx.carry if line.flag("bin") else 0
+            rec["hashBytes"] = ctx._hash_bytes
+            rec["rcxNext"] = regs.RCX
+            ctx.trace.append(rec)
 
         for cmd in line.cmd_after:
             self.eval_command(ctx, cmd)
@@ -638,6 +677,7 @@ class MainExecutor:
             data = fea_to_scalar(op).to_bytes(32, "big")[-nbytes:]
             st.data += data
             regs.HASHPOS = (regs.HASHPOS + nbytes) % P
+            ctx._hash_bytes = nbytes
             if prefix == "hashK":
                 ctx.counters.keccak_f += 1
             elif prefix == "hashS":

@@ -2,8 +2,12 @@
 
 The reference consumes ``PoseidonGoldilocks`` from the goldilocks submodule
 (not checked out in the snapshot: /root/reference/.gitmodules:1-3), so the
-official Hermez round constants are NOT available in this environment.  This
-module therefore:
+official Hermez round constants are NOT available in this environment.
+The only in-tree table (src/sm/poseidon_g/poseidon_g_executor.cpp:11-105)
+was checked against the e2e testvector node hashes (a direct known-answer
+oracle, see tests/test_poseidon_parity.py) and provably does NOT match under
+its own schedule or any nearby structural variant — it is stale relative to
+the production submodule.  This module therefore:
 
   * generates a parameter set deterministically via the Grain-LFSR procedure
     from the Poseidon reference specification (same t=12, R_F=8, R_P=22

@@ -14,6 +14,7 @@ op, like the reference's dim-1/dim-3 operand kinds.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import gl, gl3
 from . import air as air_mod
@@ -29,22 +30,34 @@ class EvalEnv:
     publics: list of gl scalars.
     x: (rows,) domain values; l1: (rows,) L1 values.
     shift_rows: row distance of "next" (1 on H, blowup on the ext domain).
+    host=True evaluates with the numpy twins (fields.glh) — the fast eager
+    CPU path; inputs must then be numpy arrays.
     """
 
-    def __init__(self, sections, challenges, publics, x, l1, shift_rows: int):
+    def __init__(self, sections, challenges, publics, x, l1, shift_rows: int,
+                 host: bool = False):
         self.sections = sections
         self.challenges = challenges
         self.publics = publics
         self.x = x
         self.l1 = l1
         self.shift_rows = shift_rows
+        self.host = host
         self._memo = {}
 
     # -- tagged-value helpers -------------------------------------------
-    @staticmethod
-    def _add(a, b):
+    def _add(self, a, b):
         ka, va = a
         kb, vb = b
+        if self.host:
+            from ..fields import glh
+            if ka == "base" and kb == "base":
+                return ("base", glh.add(va, vb))
+            if ka == "base":
+                return ("ext", glh.add3_base(vb, va))
+            if kb == "base":
+                return ("ext", glh.add3_base(va, vb))
+            return ("ext", glh.add3(va, vb))
         if ka == "base" and kb == "base":
             return ("base", gl.add(va, vb))
         if ka == "base":
@@ -53,10 +66,18 @@ class EvalEnv:
             return ("ext", gl3.add_base(va, vb))
         return ("ext", gl3.add(va, vb))
 
-    @staticmethod
-    def _sub(a, b):
+    def _sub(self, a, b):
         ka, va = a
         kb, vb = b
+        if self.host:
+            from ..fields import glh
+            if ka == "base" and kb == "base":
+                return ("base", glh.sub(va, vb))
+            if ka == "base":
+                return ("ext", glh.base_sub3(va, vb))
+            if kb == "base":
+                return ("ext", glh.sub3_base(va, vb))
+            return ("ext", glh.sub3(va, vb))
         if ka == "base" and kb == "base":
             return ("base", gl.sub(va, vb))
         if ka == "base":
@@ -65,10 +86,18 @@ class EvalEnv:
             return ("ext", gl3.sub_base(va, vb))
         return ("ext", gl3.sub(va, vb))
 
-    @staticmethod
-    def _mul(a, b):
+    def _mul(self, a, b):
         ka, va = a
         kb, vb = b
+        if self.host:
+            from ..fields import glh
+            if ka == "base" and kb == "base":
+                return ("base", glh.mul(va, vb))
+            if ka == "base":
+                return ("ext", glh.mul3_base(vb, va))
+            if kb == "base":
+                return ("ext", glh.mul3_base(va, vb))
+            return ("ext", glh.mul3(va, vb))
         if ka == "base" and kb == "base":
             return ("base", gl.mul(va, vb))
         if ka == "base":
@@ -100,7 +129,8 @@ class EvalEnv:
         sec = self.sections[c.section]
         block = sec[:, c.index:c.index + c.dim]
         if c.shift and self.shift_rows:
-            block = jnp.roll(block, -c.shift * self.shift_rows, axis=0)
+            roll = np.roll if self.host else jnp.roll
+            block = roll(block, -c.shift * self.shift_rows, axis=0)
         if c.dim == 1:
             return ("base", block[:, 0])
         return ("ext", tuple(block[:, k] for k in range(3)))
@@ -109,7 +139,8 @@ class EvalEnv:
         if isinstance(e, Col):
             return self._col_values(e)
         if isinstance(e, Const):
-            return ("base", jnp.uint64(e.value % gl.P))
+            v = e.value % gl.P
+            return ("base", np.uint64(v) if self.host else jnp.uint64(v))
         if isinstance(e, Challenge):
             return ("ext", self.challenges[e.index])
         if isinstance(e, Public):

@@ -41,6 +41,7 @@ class Setup:
     const_ext: tuple
     const_tree: object
     const_ext_np: np.ndarray
+    const_n_np: np.ndarray
     verkey: list
 
     @staticmethod
@@ -55,6 +56,7 @@ class Setup:
         return Setup(air=air, const_n=const_n, const_ext=const_ext,
                      const_tree=tree,
                      const_ext_np=gl.to_u64_np(const_ext),
+                     const_n_np=const_np.astype(np.uint64),
                      verkey=[int(v) for v in tree.root_np()])
 
 
@@ -287,6 +289,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     publics = [int(p) % P for p in publics]
     assert len(publics) == air.n_publics
     assert cm1_np.shape == (n, air.cm1_width)
+    host = not _use_jit_pipelines()
 
     transcript = Transcript()
     transcript.put(setup.verkey)
@@ -316,10 +319,18 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     challenges[CH_DEFVAL] = _challenge_triple(transcript)
 
     def env_n():
+        if host:
+            secs = {"const": setup.const_n_np,
+                    "cm1": cm1_np.astype(np.uint64)}
+            if "cm2" in sections_n:
+                secs["cm2"] = gl.to_u64_np(sections_n["cm2"])
+            return EvalEnv(secs, _host_challenges(challenges),
+                           [np.uint64(p) for p in publics],
+                           gl.to_u64_np(x_n), gl.to_u64_np(l1_n), 1,
+                           host=True)
         return EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
 
     cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
-    plookup_ft = []  # cache f/t numpy for debugging
     e = env_n()
     for pu in air.plookups:
         f_np = _expr_to_np(e, pu.f_exp)
@@ -328,7 +339,6 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         d = f_np.shape[1]
         cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
         cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
-        plookup_ft.append((f_np, t_np))
 
     cm2_n = gl.from_u64_np(cm2_np)
     if air.cm2_width:
@@ -373,7 +383,14 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
 
     cm3_n = gl.zeros((n, air.cm3_width))
     for (zcol, num_v, den_v) in z_triples:
-        ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
+        if host:
+            from ..fields import glh
+            num_v = tuple(np.asarray(v, dtype=np.uint64) for v in num_v)
+            den_v = tuple(np.asarray(v, dtype=np.uint64) for v in den_v)
+            ratios = tuple(gl.from_u64_np(c) for c in
+                           glh.mul3(num_v, glh.inv3(den_v)))
+        else:
+            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
         z = _exclusive_prefix_product(ratios)
         cm3_n = _set_cols(cm3_n, zcol.index, z)
 
@@ -387,41 +404,58 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     sections_n["cm3"] = cm3_n
     sections_ext["cm3"] = cm3_ext
 
-    # ---- round 4: quotient (jitted per-air) --------------------------
+    # ---- round 4: quotient --------------------------------------------
     challenges[CH_VC] = _challenge_triple(transcript)
-    jits = get_air_jits(air)
     publics_arr = gl.from_u64_np(np.array(publics + [0], dtype=np.uint64))
-    cm4_ext = jits["quotient"](setup.const_ext, cm1_ext, cm2_ext, cm3_ext,
-                               _challenges_array(challenges), publics_arr,
-                               x_ext, l1_ext, zi_ext)
+    if host:
+        sections_ext_np = {k: gl.to_u64_np(v)
+                           for k, v in sections_ext.items()}
+        cm4_ext = _host_quotient(air, setup, sections_ext_np, challenges,
+                                 publics, x_ext, l1_ext, zi_ext)
+        sections_ext_np["cm4"] = gl.to_u64_np(cm4_ext)
+    else:
+        jits = get_air_jits(air)
+        cm4_ext = jits["quotient"](setup.const_ext, cm1_ext, cm2_ext,
+                                   cm3_ext, _challenges_array(challenges),
+                                   publics_arr, x_ext, l1_ext, zi_ext)
     tree4 = merkle.merkelize(cm4_ext, air.cm4_width)
     root4 = [int(v) for v in tree4.root_np()]
     transcript.put(root4)
     sections_ext["cm4"] = cm4_ext
 
-    # ---- round 5: evals + DEEP/FRI polynomial (jitted per-air) -------
+    # ---- round 5: evals + DEEP/FRI polynomial ------------------------
     challenges[CH_XI] = _challenge_triple(transcript)
-    # evals depend only on xi; v1/v2 are drawn AFTER the evals enter the
-    # transcript, so round5 is traced with all challenge slots but the
-    # evals it computes are unaffected by v1/v2 (verified by replay).
-    # First pass: compute evals with placeholder v1/v2 = 0 would change
-    # fri_pol, so round5 is invoked once with the final challenge array
-    # after the draws; the evals are deterministic either way.
-    evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
-                                publics_arr, x_ext, l1_ext)
-    evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
-    for ev in evals:
-        transcript.put(ev)
-    challenges[CH_V1] = _challenge_triple(transcript)
-    challenges[CH_V2] = _challenge_triple(transcript)
-    _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
-                              publics_arr, x_ext, l1_ext)
+    if host:
+        evals = _host_evals(air, sections_ext_np, challenges, blowup)
+        for ev in evals:
+            transcript.put(ev)
+        challenges[CH_V1] = _challenge_triple(transcript)
+        challenges[CH_V2] = _challenge_triple(transcript)
+        fri_pol = _host_fri_pol(air, sections_ext_np, challenges, evals,
+                                gl.to_u64_np(x_ext))
+    else:
+        jits = get_air_jits(air)
+        evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
+                                    publics_arr, x_ext, l1_ext)
+        evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
+        for ev in evals:
+            transcript.put(ev)
+        challenges[CH_V1] = _challenge_triple(transcript)
+        challenges[CH_V2] = _challenge_triple(transcript)
+        _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
+                                  publics_arr, x_ext, l1_ext)
 
     # ---- FRI ----------------------------------------------------------
     trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
-    sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
-                    gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
-                    setup.const_ext_np]
+    if host:
+        sources_main = [sections_ext_np["cm1"], sections_ext_np["cm2"],
+                        sections_ext_np["cm3"], sections_ext_np["cm4"],
+                        setup.const_ext_np]
+        fri_pol = tuple(gl.from_u64_np(c) for c in fri_pol)
+    else:
+        sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
+                        gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
+                        setup.const_ext_np]
     fri_steps_data, final_pol, _ys = fri_mod.prove(
         transcript, fri_pol, air, trees_main, sources_main)
 
@@ -430,6 +464,114 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
                       fri_steps=fri_steps_data,
                       final_pol=final_pol,
                       publics=publics)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) eager pipelines — the fast CPU path (see fields/glh.py)
+# ---------------------------------------------------------------------------
+
+def _host_challenges(challenges: dict):
+    return {s: tuple(np.uint64(int(np.asarray(c))) for c in tri)
+            for s, tri in challenges.items()}
+
+
+def _host_quotient(air, setup, sections_ext_np, challenges, publics,
+                   x_ext, l1_ext, zi_ext):
+    from ..fields import glh
+    n, n_ext = air.n, air.n_ext
+    blowup = n_ext // n
+    env = EvalEnv(sections_ext_np, _host_challenges(challenges),
+                  [np.uint64(p) for p in publics], gl.to_u64_np(x_ext),
+                  gl.to_u64_np(l1_ext), blowup, host=True)
+    ch = _host_challenges(challenges)
+    vc = ch[CH_VC]
+    acc = None
+    for c in air_mod.all_constraints(air):
+        val = env.eval(c)
+        if val[0] == "base":
+            val3 = glh.from_base3(np.broadcast_to(
+                np.asarray(val[1], dtype=np.uint64), (n_ext,)))
+        else:
+            val3 = tuple(np.broadcast_to(np.asarray(v, dtype=np.uint64),
+                                         (n_ext,)) for v in val[1])
+        acc = val3 if acc is None else glh.add3(glh.mul3(acc, vc), val3)
+    zi = gl.to_u64_np(zi_ext)
+    q_vals = tuple(glh.mul(c, zi) for c in acc)
+    q_coeffs = gl.to_u64_np(ntt.intt(
+        gl.from_u64_np(np.stack(q_vals, axis=1)), air.n_bits_ext))
+    shift_inv = gl.host_inv(gl.SHIFT)
+    shift_in = pow(shift_inv, n, P)
+    parts = []
+    cur_s = 1
+    import jax.numpy as jnp
+    for p_i in range(air.q_deg):
+        chunk = glh.mul_const(q_coeffs[p_i * n:(p_i + 1) * n], cur_s)
+        cur_s = (cur_s * shift_in) % P
+        chunk = np.pad(chunk, ((0, n_ext - n), (0, 0)))
+        parts.append(ntt.ntt(gl.from_u64_np(chunk), air.n_bits_ext))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _host_evals(air, sections_ext_np, challenges, blowup):
+    """Evaluations at w^shift * xi via INTT-weighted inner products."""
+    from ..fields import glh
+    ch = _host_challenges(challenges)
+    xi = ch[CH_XI]
+    w_n = gl.host_w(air.n_bits)
+    shift_inv = gl.host_inv(gl.SHIFT)
+    shifts = sorted({e.shift for e in air.ev_map})
+    weights_by_shift = {}
+    for s_ in shifts:
+        mulk = (pow(w_n, s_, P) * shift_inv) % P
+        pt = tuple(int(c) * mulk % P for c in (int(xi[0]), int(xi[1]),
+                                               int(xi[2])))
+        w3 = _lagrange_weights(pt, air.n_bits)
+        weights_by_shift[s_] = tuple(gl.to_u64_np(c) for c in w3)
+    evals = []
+    for entry in air.ev_map:
+        sec = sections_ext_np[entry.section]
+        samp = sec[::blowup]
+        weights = weights_by_shift[entry.shift]
+        if entry.dim == 1:
+            col = samp[:, entry.index]
+            prod = tuple(glh.mul(wc, col) for wc in weights)
+        else:
+            col3 = tuple(samp[:, entry.index + k] for k in range(3))
+            prod = glh.mul3(weights, col3)
+        evals.append([int(glh.sum_axis(c)) for c in prod])
+    return evals
+
+
+def _host_fri_pol(air, sections_ext_np, challenges, evals, x_ext_np):
+    from ..fields import glh
+    ch = _host_challenges(challenges)
+    xi, v1, v2 = ch[CH_XI], ch[CH_V1], ch[CH_V2]
+    n_ext = air.n_ext
+    w_n = gl.host_w(air.n_bits)
+    shifts = sorted({e.shift for e in air.ev_map})
+    accs = {s_: glh.zeros3((n_ext,)) for s_ in shifts}
+    v1_pow = (np.uint64(1), np.uint64(0), np.uint64(0))
+    for i, entry in enumerate(air.ev_map):
+        sec = sections_ext_np[entry.section]
+        if entry.dim == 1:
+            colv = glh.from_base3(sec[:, entry.index])
+        else:
+            colv = tuple(sec[:, entry.index + k] for k in range(3))
+        ev3 = tuple(np.uint64(evals[i][k]) for k in range(3))
+        term = glh.mul3(glh.sub3(colv, ev3), v1_pow)
+        accs[entry.shift] = glh.add3(accs[entry.shift], term)
+        v1_pow = glh.mul3(v1_pow, v1)
+    fri_pol = glh.zeros3((n_ext,))
+    v2_pow = (np.uint64(1), np.uint64(0), np.uint64(0))
+    for s_ in shifts:
+        mulk = pow(w_n, s_, P)
+        pt = tuple(np.uint64(int(c) * mulk % P) for c in xi)
+        diff = glh.sub3(glh.from_base3(x_ext_np), pt)
+        xdiv = glh.mul3_base(glh.inv3(diff), x_ext_np)
+        fri_pol = glh.add3(fri_pol,
+                           glh.mul3(glh.mul3(accs[s_], xdiv), v2_pow))
+        v2_pow = glh.mul3(v2_pow, v2)
+    return fri_pol
 
 
 # ---------------------------------------------------------------------------
