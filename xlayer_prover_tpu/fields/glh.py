@@ -31,17 +31,19 @@ def _cond_sub_p(x):
 def add(a, b):
     a = asarr(a)
     b = asarr(b)
-    s = a + b
-    s = np.where(s < a, s + EPSILON, s)
-    return _cond_sub_p(s)
+    with np.errstate(over="ignore"):
+        s = a + b
+        s = np.where(s < a, s + EPSILON, s)
+        return _cond_sub_p(s)
 
 
 def sub(a, b):
     a = asarr(a)
     b = asarr(b)
-    d = a - b
-    d = np.where(a < b, d - EPSILON, d)
-    return _cond_sub_p(d)
+    with np.errstate(over="ignore"):
+        d = a - b
+        d = np.where(a < b, d - EPSILON, d)
+        return _cond_sub_p(d)
 
 
 def neg(a):
@@ -77,7 +79,8 @@ def _reduce128(lo, hi):
 
 
 def mul(a, b):
-    return _reduce128(*_mul_wide(asarr(a), asarr(b)))
+    with np.errstate(over="ignore"):
+        return _reduce128(*_mul_wide(asarr(a), asarr(b)))
 
 
 def mul_const(a, c: int):

@@ -48,20 +48,21 @@ def build(builder: AirBuilder, total_bits: int = 256,
     fixed = {
         "FIRST": builder.fixed("AR_FIRST"),
         "RANGE_LIMB": builder.fixed("AR_RANGE_LIMB"),
-        "RANGE_FULL": builder.fixed("AR_RANGE_FULL"),
     }
     w = {name: builder.witness(f"ar_{name}")
-         for name in ("a", "b", "c", "d", "e", "carry")}
+         for name in ("a", "b", "c", "d", "e", "carry_lo", "carry_hi")}
 
     first = fixed["FIRST"]
-    # limb range checks (values < 2^limb_bits) and carry range check
-    for name in ("a", "b", "c", "d", "e"):
+    # limb range checks (values < 2^limb_bits); carries are bounded by
+    # L * 2^limb_bits so they split into two range-checked limbs
+    for name in ("a", "b", "c", "d", "e", "carry_lo", "carry_hi"):
         builder.plookup([w[name]], [fixed["RANGE_LIMB"]])
-    # carries are bounded by L * 2^limb_bits (< domain size), not limb_bits
-    builder.plookup([w["carry"]], [fixed["RANGE_FULL"]])
 
     def limb(col, j):
         return col.shifted(j) if j else col
+
+    def carry_limb(j):
+        return limb(w["carry_lo"], j) + limb(w["carry_hi"], j) * base
 
     for i in range(2 * L):
         conv = None
@@ -75,8 +76,8 @@ def build(builder: AirBuilder, total_bits: int = 256,
         if conv is None:       # i = 2L-1: no products reach this column
             conv = Const(0)
         rhs = limb(w["e"], i) if i < L else limb(w["d"], i - L)
-        carry_prev = limb(w["carry"], i - 1) if i > 0 else Const(0)
-        carry_cur = limb(w["carry"], i)
+        carry_prev = carry_limb(i - 1) if i > 0 else Const(0)
+        carry_cur = carry_limb(i)
         expr = conv + carry_prev - rhs - carry_cur * base
         builder.constrain(first * expr)
     # no explicit final-carry constraint needed: with all limbs and carries
@@ -93,8 +94,6 @@ def fill_fixed(layout: ArithLayout, const_np: np.ndarray):
     base = 1 << layout.limb_bits
     assert base <= n, "range table larger than domain"
     const_np[:, layout.fixed["RANGE_LIMB"].index] = idx % base
-    const_np[:, layout.fixed["RANGE_FULL"].index] = idx
-    assert layout.n_limbs * base <= n, "carry range exceeds domain"
 
 
 def expand_trace(layout: ArithLayout, actions, cm1_np: np.ndarray):
@@ -136,7 +135,9 @@ def expand_trace(layout: ArithLayout, actions, cm1_np: np.ndarray):
             total = conv + carry - rhs
             assert total % base == 0, (i, total)
             carry = total // base
-            cm1_np[rowbase + i, w["carry"].index] = carry
+            assert 0 <= carry < base * base
+            cm1_np[rowbase + i, w["carry_lo"].index] = carry % base
+            cm1_np[rowbase + i, w["carry_hi"].index] = carry // base
         assert carry == 0, "final carry must be zero"
         results.append((d, e))
     return results

@@ -61,13 +61,70 @@ class ProverRequest:
         default_factory=threading.Event)
 
 
+class BatchProver:
+    """The zkEVM batch proving engine: BatchInput -> executor -> trace ->
+    STARK (the reference Prover::genBatchProof pipeline,
+    prover.cpp:392-674, minus the recursion stages).
+
+    The circuit's constant polynomials (ROM table + SM tables) are
+    input-independent, so the Setup (const tree / verkey) is built once
+    per geometry and reused across batches — the analogue of the
+    reference's preloaded const pols + const tree (starks.hpp:93-191).
+    """
+
+    def __init__(self, rom, n_bits: int = 16, chunk_bits: int = 4,
+                 limb_bits: int = 16, n_queries: int = 8,
+                 max_steps: int = 1 << 22):
+        from .executor import rom_functions as rf
+        from .executor.executor import Executor
+        self.executor = Executor(rom, n_bits=n_bits, chunk_bits=chunk_bits,
+                                 limb_bits=limb_bits, n_queries=n_queries,
+                                 max_steps=max_steps)
+        rf.register_all(self.executor.main)
+        self._setup = None
+
+    @property
+    def air(self):
+        return self.executor.air
+
+    def setup(self):
+        if self._setup is None:
+            import numpy as np
+            from .models.zkevm import zkevm_air
+            n = self.air.n
+            const_np = np.zeros((n, self.air.const_width), dtype=np.uint64)
+            from .models.zkevm import arith_sm, binary_sm, main_sm_air, \
+                memory_sm
+            main_sm_air.fill_fixed(self.executor.layout.main, const_np)
+            binary_sm.fill_fixed(self.executor.layout.binary, const_np)
+            memory_sm.fill_fixed(self.executor.layout.memory, const_np)
+            arith_sm.fill_fixed(self.executor.layout.arith, const_np)
+            self._setup = stark_prover.Setup.build(self.air, const_np)
+        return self._setup
+
+    def prove(self, batch_input, batch_uuid: str = "batch"):
+        """Run the batch and prove it.  Returns (StarkProof, Context)."""
+        from .state.hashdb import HashDB
+        hashdb = HashDB()
+        batch_input.load_db(hashdb)
+        res = self.executor.execute(
+            hashdb, batch_uuid=batch_uuid,
+            input_vars=batch_input.input_vars(),
+            setup_registers=batch_input.setup_registers)
+        setup = self.setup()
+        proof = stark_prover.gen_proof(setup, res.cm1_np, res.publics)
+        return proof, res.ctx
+
+
 class ProverService:
     """Queue + worker around the STARK engine (and future recursion)."""
 
     def __init__(self, setup_registry: Optional[Dict[str, object]] = None,
-                 cleaner_ttl_s: float = 600.0):
+                 cleaner_ttl_s: float = 600.0,
+                 batch_prover: Optional[BatchProver] = None):
         # name -> (air, Setup) pairs; "batch" is the batch-proof circuit
         self.setups: Dict[str, object] = setup_registry or {}
+        self.batch_prover = batch_prover
         self.requests: Dict[str, ProverRequest] = {}
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._lock = threading.Lock()
@@ -167,6 +224,17 @@ class ProverService:
         return entry  # (air, Setup)
 
     def _gen_batch_proof(self, req: ProverRequest):
+        if "input" in req.payload:
+            # the real path: a BatchInput through executor -> trace -> STARK
+            if self.batch_prover is None:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              "no batch prover engine configured")
+            proof, _ctx = self.batch_prover.prove(req.payload["input"],
+                                                  batch_uuid=req.uuid)
+            setup = self.batch_prover.setup()
+            stark_verifier.verify(self.batch_prover.air, setup.verkey, proof)
+            req.proof = proof
+            return
         air, setup = self._get_setup(req.payload.get("circuit", "batch"))
         cm1 = req.payload["cm1"]
         publics = req.payload.get("publics", [])

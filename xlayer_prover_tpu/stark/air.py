@@ -170,11 +170,29 @@ class PermutationCtx:
 @dataclasses.dataclass
 class ConnectionCtx:
     """PlonK-style copy constraints over `cols` with sigma columns `s_cols`;
-    k_coeffs are the coset multipliers k_j (k_0 = 1)."""
+    k_coeffs are the coset multipliers k_j (k_0 = 1).
+
+    Wide connections (len(cols) > 3) split their grand-product factors into
+    committed intermediate columns (im chains, the pil-stark imPols
+    pattern) so every emitted constraint stays degree <= 3: the first im
+    covers 3 factors, each later im multiplies 2 more, and the Z recurrence
+    consumes the last im directly."""
     cols: list
     s_cols: list
     k_coeffs: list
     z_col: Col = None
+    num_ims: list = dataclasses.field(default_factory=list)
+    den_ims: list = dataclasses.field(default_factory=list)
+
+    def factor_groups(self):
+        """Partition of factor indices: [0..2], then pairs."""
+        n = len(self.cols)
+        groups = [list(range(min(3, n)))]
+        i = 3
+        while i < n:
+            groups.append(list(range(i, min(i + 2, n))))
+            i += 2
+        return groups
 
 
 @dataclasses.dataclass
@@ -337,8 +355,17 @@ class AirBuilder:
         for (cols, s_cols, ks) in self._connections:
             z = Col("cm3", cm3_w, 3, name="z_ci")
             cm3_w += 3
-            connections.append(ConnectionCtx(cols=cols, s_cols=s_cols,
-                                             k_coeffs=ks, z_col=z))
+            ctx = ConnectionCtx(cols=cols, s_cols=s_cols, k_coeffs=ks,
+                                z_col=z)
+            if len(cols) > 3:
+                n_ims = len(ctx.factor_groups())
+                for _ in range(n_ims):
+                    ctx.num_ims.append(Col("cm3", cm3_w, 3, name="im_num"))
+                    cm3_w += 3
+                for _ in range(n_ims):
+                    ctx.den_ims.append(Col("cm3", cm3_w, 3, name="im_den"))
+                    cm3_w += 3
+            connections.append(ctx)
 
         # Full constraint list (identity + argument constraints) is built by
         # the prover/verifier via `all_constraints`; the quotient degree needs
@@ -435,13 +462,31 @@ def all_constraints(air: Air):
     for ci in air.connections:
         z = ci.z_col
         zp = z.shifted()
-        num = Const(1)
-        den = Const(1)
         xx = XSymbol()
-        for c, s, k in zip(ci.cols, ci.s_cols, ci.k_coeffs):
-            num = num * (c + beta * k * xx + gamma)
-            den = den * (c + beta * s + gamma)
-        out.append(zp * den - z * num)
+        num_factors = [c + beta * k * xx + gamma
+                       for c, k in zip(ci.cols, ci.k_coeffs)]
+        den_factors = [c + beta * s + gamma
+                       for c, s in zip(ci.cols, ci.s_cols)]
+        if not ci.num_ims:
+            num = Const(1)
+            den = Const(1)
+            for fn, fd in zip(num_factors, den_factors):
+                num = num * fn
+                den = den * fd
+            out.append(zp * den - z * num)
+        else:
+            groups = ci.factor_groups()
+            for ims, factors in ((ci.num_ims, num_factors),
+                                 (ci.den_ims, den_factors)):
+                prev = None
+                for gi, grp in enumerate(groups):
+                    prod = Const(1) if prev is None else prev
+                    for fi in grp:
+                        prod = prod * factors[fi]
+                    out.append(ims[gi] - prod)      # im defining constraint
+                    prev = ims[gi]
+            # the last ims hold the full per-row products
+            out.append(zp * ci.den_ims[-1] - z * ci.num_ims[-1])
         out.append(l1 * (z - 1))
     return out
 

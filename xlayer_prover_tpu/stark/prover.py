@@ -29,6 +29,7 @@ from .air import CH_BETA, CH_DEFVAL, CH_GAMMA, CH_U, CH_V1, CH_V2, CH_VC, CH_XI
 from .eval import EvalEnv
 from .proof import StarkProof
 from .transcript import Transcript
+from ..utils.timer import timer
 
 P = gl.P
 
@@ -304,12 +305,15 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     publics_dev = [gl.full((), p) for p in publics]
     challenges = {}
 
-    # ---- round 1: cm1 -------------------------------------------------
+    # ---- round 1: cm1 (reference STARK_STEP_1, starks.cpp:53-60) ------
+    t_r1 = timer("stark.step1_lde_merkle", log=True)
+    t_r1.__enter__()
     cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
     cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)
     tree1 = merkle.merkelize(cm1_ext, air.cm1_width)
     root1 = [int(v) for v in tree1.root_np()]
     transcript.put(root1)
+    t_r1.__exit__(None, None, None)
 
     sections_n = {"const": setup.const_n, "cm1": cm1_n}
     sections_ext = {"const": setup.const_ext, "cm1": cm1_ext}
@@ -330,6 +334,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
                            host=True)
         return EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
 
+    t_r2 = timer("stark.step2_h1h2", log=True)
+    t_r2.__enter__()
     cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
     e = env_n()
     for pu in air.plookups:
@@ -350,10 +356,13 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     transcript.put(root2)
     sections_n["cm2"] = cm2_n
     sections_ext["cm2"] = cm2_ext
+    t_r2.__exit__(None, None, None)
 
     # ---- round 3: grand products Z -----------------------------------
     challenges[CH_GAMMA] = _challenge_triple(transcript)
     challenges[CH_BETA] = _challenge_triple(transcript)
+    t_r3 = timer("stark.step3_z", log=True)
+    t_r3.__enter__()
     e = env_n()
     gamma = air_mod.Challenge(CH_GAMMA)
     beta = air_mod.Challenge(CH_BETA)
@@ -372,16 +381,49 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         num = pe.f_exp + gamma
         den = pe.t_exp + gamma
         z_triples.append((pe.z_col, e.eval_ext(num), e.eval_ext(den)))
+    im_fills = []       # (col, triple) intermediate products to commit
     for ci in air.connections:
-        num = air_mod.Const(1)
-        den = air_mod.Const(1)
         xx = air_mod.XSymbol()
-        for c, s, k in zip(ci.cols, ci.s_cols, ci.k_coeffs):
-            num = num * (c + beta * k * xx + gamma)
-            den = den * (c + beta * s + gamma)
-        z_triples.append((ci.z_col, e.eval_ext(num), e.eval_ext(den)))
+        num_factors = [c + beta * k * xx + gamma
+                       for c, k in zip(ci.cols, ci.k_coeffs)]
+        den_factors = [c + beta * s + gamma
+                       for c, s in zip(ci.cols, ci.s_cols)]
+        if not ci.num_ims:
+            num = air_mod.Const(1)
+            den = air_mod.Const(1)
+            for fn, fd in zip(num_factors, den_factors):
+                num = num * fn
+                den = den * fd
+            z_triples.append((ci.z_col, e.eval_ext(num), e.eval_ext(den)))
+        else:
+            groups = ci.factor_groups()
+            finals = []
+            for ims, factors in ((ci.num_ims, num_factors),
+                                 (ci.den_ims, den_factors)):
+                vals = [e.eval_ext(f) for f in factors]
+                if host:
+                    from ..fields import glh
+                    vals = [tuple(np.asarray(c, dtype=np.uint64) for c in v)
+                            for v in vals]
+                    mul3 = glh.mul3
+                else:
+                    mul3 = gl3.mul
+                prev = None
+                for gi, grp in enumerate(groups):
+                    prod = prev
+                    for fi in grp:
+                        prod = vals[fi] if prod is None \
+                            else mul3(prod, vals[fi])
+                    im_fills.append((ims[gi], prod))
+                    prev = prod
+                finals.append(prev)
+            z_triples.append((ci.z_col, finals[0], finals[1]))
 
     cm3_n = gl.zeros((n, air.cm3_width))
+    for (col, triple) in im_fills:
+        if isinstance(triple[0], np.ndarray):
+            triple = tuple(gl.from_u64_np(c) for c in triple)
+        cm3_n = _set_cols(cm3_n, col.index, triple)
     for (zcol, num_v, den_v) in z_triples:
         if host:
             from ..fields import glh
@@ -403,9 +445,12 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     transcript.put(root3)
     sections_n["cm3"] = cm3_n
     sections_ext["cm3"] = cm3_ext
+    t_r3.__exit__(None, None, None)
 
-    # ---- round 4: quotient --------------------------------------------
+    # ---- round 4: quotient (reference STARK_STEP_4) -------------------
     challenges[CH_VC] = _challenge_triple(transcript)
+    t_r4 = timer("stark.step4_quotient", log=True)
+    t_r4.__enter__()
     publics_arr = gl.from_u64_np(np.array(publics + [0], dtype=np.uint64))
     if host:
         sections_ext_np = {k: gl.to_u64_np(v)
@@ -422,9 +467,12 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     root4 = [int(v) for v in tree4.root_np()]
     transcript.put(root4)
     sections_ext["cm4"] = cm4_ext
+    t_r4.__exit__(None, None, None)
 
     # ---- round 5: evals + DEEP/FRI polynomial ------------------------
     challenges[CH_XI] = _challenge_triple(transcript)
+    t_r5 = timer("stark.step5_evals_deep", log=True)
+    t_r5.__enter__()
     if host:
         evals = _host_evals(air, sections_ext_np, challenges, blowup)
         for ev in evals:
@@ -445,7 +493,11 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
                                   publics_arr, x_ext, l1_ext)
 
-    # ---- FRI ----------------------------------------------------------
+    t_r5.__exit__(None, None, None)
+
+    # ---- FRI (reference STARK_STEP_FRI) -------------------------------
+    t_fri = timer("stark.step_fri", log=True)
+    t_fri.__enter__()
     trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
     if host:
         sources_main = [sections_ext_np["cm1"], sections_ext_np["cm2"],
@@ -458,6 +510,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
                         setup.const_ext_np]
     fri_steps_data, final_pol, _ys = fri_mod.prove(
         transcript, fri_pol, air, trees_main, sources_main)
+    t_fri.__exit__(None, None, None)
 
     return StarkProof(roots=[root1, root2, root3, root4],
                       evals=evals,
