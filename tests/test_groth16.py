@@ -1,0 +1,78 @@
+"""Groth16 end-to-end: setup -> prove -> pairing-check verify."""
+
+import random
+
+import pytest
+
+from xlayer_prover_tpu.fields.bn254 import R
+from xlayer_prover_tpu.snark import groth16
+from xlayer_prover_tpu.snark.r1cs import R1CSBuilder, check_witness
+
+
+def cubic_circuit(x: int):
+    """Prove knowledge of x with x^3 + x + 5 == out (a classic)."""
+    b = R1CSBuilder()
+    out = b.public((x ** 3 + x + 5) % R)
+    xw = b.wire(x)
+    x2 = b.mul(xw, xw)
+    x3 = b.mul(x2, xw)
+    # x3 + x + 5 == out
+    b.assert_eq_lc({x3: 1, xw: 1}, 5, out)
+    return b
+
+
+@pytest.fixture(scope="module")
+def proven():
+    rng = random.Random(42)
+    b = cubic_circuit(3)
+    r1cs = b.build()
+    wit = b.witness()
+    assert check_witness(r1cs, wit)
+    pk, vk = groth16.setup(r1cs, rng=rng)
+    proof = groth16.prove(pk, r1cs, wit, rng=rng)
+    return r1cs, pk, vk, proof, wit
+
+
+def test_groth16_roundtrip(proven):
+    r1cs, pk, vk, proof, wit = proven
+    assert groth16.verify(vk, proof, [wit[1]])
+
+
+def test_groth16_wrong_public_fails(proven):
+    r1cs, pk, vk, proof, wit = proven
+    assert not groth16.verify(vk, proof, [(wit[1] + 1) % R])
+
+
+def test_groth16_tampered_proof_fails(proven):
+    r1cs, pk, vk, proof, wit = proven
+    bad = groth16.Proof(a=proof.c, b=proof.b, c=proof.a)
+    assert not groth16.verify(vk, bad, [wit[1]])
+
+
+def test_groth16_bad_witness_rejected(proven):
+    r1cs, pk, vk, proof, wit = proven
+    bad_wit = list(wit)
+    bad_wit[2] = (bad_wit[2] + 1) % R     # x wire no longer matches out
+    with pytest.raises(AssertionError):
+        groth16.prove(pk, r1cs, bad_wit)
+
+
+def test_groth16_multi_constraint():
+    rng = random.Random(7)
+    b = R1CSBuilder()
+    out = b.public(0)
+    ws = [b.wire(i + 2) for i in range(6)]
+    acc = ws[0]
+    for w in ws[1:]:
+        acc = b.mul(acc, w)
+    b.assert_eq_lc({acc: 1}, 0, out)
+    prod = 1
+    for i in range(6):
+        prod = prod * (i + 2) % R
+    b.set_value(out, prod)
+    r1cs = b.build()
+    wit = b.witness()
+    assert check_witness(r1cs, wit)
+    pk, vk = groth16.setup(r1cs, rng=rng)
+    proof = groth16.prove(pk, r1cs, wit, rng=rng)
+    assert groth16.verify(vk, proof, [prod])
