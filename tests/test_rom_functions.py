@@ -133,3 +133,30 @@ def test_mpdiv_short():
     assert rf.receive_len_quotient(ctx) == 2  # padded to dividend length
     q = sum(rf.receive_quotient_chunk(ctx, i) << (256 * i) for i in range(2))
     assert q == a // 10
+
+
+def test_out_of_counters_binary():
+    """OOC enforcement: tight binary limit -> OUT_OF_COUNTERS_BINARY."""
+    from xlayer_prover_tpu.executor.main_sm import Context, MainExecutor
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.state.hashdb import HashDB
+    from xlayer_prover_tpu.utils.zkresult import ZkError, ZkResult
+    prog = [
+        {"CONSTL": 1, "setA": 1},
+        {"CONSTL": 2, "setB": 1},
+        {"freeInTag": {}, "inFREE": 1, "bin": 1, "binOpcode": 0, "setC": 1},
+        {"freeInTag": {}, "inFREE": 1, "bin": 1, "binOpcode": 0, "setC": 1},
+        {"JMP": 1, "useJmpAddr": 1, "jmpAddr": 5},
+        {},
+    ]
+    rom = Rom.from_json({"program": prog,
+                         "labels": {"start": 0, "finalizeExecution": 5},
+                         "constants": {}})
+    ex = MainExecutor(rom, max_steps=100)
+    ctx = Context(rom, HashDB())
+    ctx.counter_limits["binary"] = 1
+    try:
+        ex.execute(ctx)
+        assert False, "expected OOC"
+    except ZkError as e:
+        assert e.code == ZkResult.OUT_OF_COUNTERS_BINARY

@@ -52,7 +52,22 @@ def test_status(stack):
                          pb.GetStatusResponse.STATUS_COMPUTING)
 
 
+def test_batch_proof_script(stack):
+    server, _ = stack
+    reply = server.ask("b-only", gen_batch_proof_request=
+                       pb.GenBatchProofRequest())
+    assert reply.gen_batch_proof_response.result == pb.RESULT_OK
+    uid = reply.gen_batch_proof_response.id
+    reply = server.ask("gp-only", get_proof_request=
+                       pb.GetProofRequest(id=uid, timeout=300))
+    assert reply.get_proof_response.result == \
+        pb.GetProofResponse.RESULT_COMPLETED_OK
+
+
+@pytest.mark.slow
 def test_batch_aggregate_final_script(stack):
+    """The reference A.7 script over the real recursion stack: batches ->
+    recursive1 -> recursive2 aggregate -> final."""
     server, _ = stack
     # prove two batches
     ids = []
@@ -65,7 +80,7 @@ def test_batch_aggregate_final_script(stack):
     proofs = []
     for k, uid in enumerate(ids):
         reply = server.ask(f"gp-{k}", get_proof_request=
-                           pb.GetProofRequest(id=uid, timeout=120))
+                           pb.GetProofRequest(id=uid, timeout=300))
         assert reply.get_proof_response.result == \
             pb.GetProofResponse.RESULT_COMPLETED_OK, \
             reply.get_proof_response.result_string
@@ -79,11 +94,12 @@ def test_batch_aggregate_final_script(stack):
     assert reply.gen_aggregated_proof_response.result == pb.RESULT_OK
     agg_id = reply.gen_aggregated_proof_response.id
     reply = server.ask("gp-agg", get_proof_request=
-                       pb.GetProofRequest(id=agg_id, timeout=120))
+                       pb.GetProofRequest(id=agg_id, timeout=1200))
     assert reply.get_proof_response.result == \
         pb.GetProofResponse.RESULT_COMPLETED_OK
     agg_proof = reply.get_proof_response.recursive_proof
-    assert "aggregated" in json.loads(agg_proof)
+    agg_obj = json.loads(agg_proof)
+    assert agg_obj.get("level") == 2
 
     # final proof
     reply = server.ask("fin-1", gen_final_proof_request=
@@ -92,9 +108,11 @@ def test_batch_aggregate_final_script(stack):
     assert reply.gen_final_proof_response.result == pb.RESULT_OK
     fin_id = reply.gen_final_proof_response.id
     reply = server.ask("gp-fin", get_proof_request=
-                       pb.GetProofRequest(id=fin_id, timeout=120))
+                       pb.GetProofRequest(id=fin_id, timeout=600))
     assert reply.get_proof_response.result == \
         pb.GetProofResponse.RESULT_COMPLETED_OK
+    fin_obj = json.loads(reply.get_proof_response.recursive_proof)
+    assert "final" in fin_obj and fin_obj["final"].get("level") == 2
 
 
 def test_get_unknown_proof(stack):

@@ -102,6 +102,37 @@ class Counters:
     poseidon_g: int = 0
 
 
+def counter_limits_from_rom(rom, scale: int = 1) -> dict:
+    """Per-SM capacity limits (the batch-capacity product contract):
+    the *_LIMIT constants of constants.zkasm shipped inside rom.json
+    (reference main_executor.cpp:50,65-66 scales x8 in no-counters mode)."""
+    def c(name, default):
+        v = rom.constants.get(name)
+        return int(v["value"]) * scale if v else default * scale
+    return {
+        "steps": c("MAX_CNT_STEPS_LIMIT", 1 << 23),
+        "arith": c("MAX_CNT_ARITH_LIMIT", 1 << 18),
+        "binary": c("MAX_CNT_BINARY_LIMIT", 1 << 19),
+        "mem_align": c("MAX_CNT_MEM_ALIGN_LIMIT", 1 << 18),
+        "keccak_f": c("MAX_CNT_KECCAK_F_LIMIT", 2376),
+        "padding_pg": c("MAX_CNT_PADDING_PG_LIMIT", 149796),
+        "poseidon_g": c("MAX_CNT_POSEIDON_G_LIMIT", 279620),
+        "sha256_f": c("MAX_CNT_SHA256_F_LIMIT", 1862),
+    }
+
+
+_OOC_CODES = {
+    "steps": ZkResult.OUT_OF_COUNTERS_STEP,
+    "arith": ZkResult.OUT_OF_COUNTERS_ARITH,
+    "binary": ZkResult.OUT_OF_COUNTERS_BINARY,
+    "mem_align": ZkResult.OUT_OF_COUNTERS_MEM,
+    "keccak_f": ZkResult.OUT_OF_COUNTERS_KECCAK,
+    "padding_pg": ZkResult.OUT_OF_COUNTERS_PADDING,
+    "poseidon_g": ZkResult.OUT_OF_COUNTERS_POSEIDON,
+    "sha256_f": ZkResult.OUT_OF_COUNTERS_PADDING,
+}
+
+
 @dataclasses.dataclass
 class Required:
     """Action vectors for the secondary-SM trace expanders
@@ -135,6 +166,7 @@ class Context:
         self.hash_p: Dict[int, HashState] = {}
         self.hash_s: Dict[int, HashState] = {}
         self.input_vars = input_vars or {}
+        self.counter_limits = counter_limits_from_rom(rom)
         self.carry = 0
         self.done = False
         self.step = 0
@@ -143,6 +175,16 @@ class Context:
         # the Main SM polynomial commitment (models/zkevm/main_sm_air.py)
         self.trace: Optional[list] = None
         self._hash_bytes = 0
+
+
+def _bump(ctx: "Context", name: str, amount: int = 1):
+    """Increment a counter and enforce its OOC limit
+    (reference CHECK_MAX_CNT_ASAP, main_executor.cpp:55-66)."""
+    cur = getattr(ctx.counters, name) + amount
+    setattr(ctx.counters, name, cur)
+    limit = ctx.counter_limits.get(name)
+    if limit is not None and cur > limit:
+        raise ZkError(_OOC_CODES[name], f"out of counters: {name} > {limit}")
 
 
 class CommandError(ZkError):
@@ -560,7 +602,7 @@ class MainExecutor:
         b = fea_to_scalar(regs.B)
         res = fea_to_scalar(op)
         opcode = line.bin_opcode
-        ctx.counters.binary += 1
+        _bump(ctx, "binary")
         expected, carry = self._binary_result(opcode, a, b)
         if res != expected:
             raise ZkError(ZkResult.PROVER_ERROR,
@@ -576,7 +618,7 @@ class MainExecutor:
         eq3: BN254 Fp2 mul: (A+iB)*(C+iD) = E + i*op
         eq4: BN254 Fp2 add ; eq5: BN254 Fp2 sub."""
         regs = ctx.regs
-        ctx.counters.arith += 1
+        _bump(ctx, "arith")
         a = fea_to_scalar(regs.A)
         b = fea_to_scalar(regs.B)
         c = fea_to_scalar(regs.C)
@@ -657,13 +699,13 @@ class MainExecutor:
             res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
             regs.SR = self._quad_to_sr8(res.new_root)
             ctx.required.storage.append(("SET", key, value, res.new_root))
-            ctx.counters.poseidon_g += 1
+            _bump(ctx, "poseidon_g")
         else:
             res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
             if fea_to_scalar(op) != res.value:
                 raise ZkError(ZkResult.PROVER_ERROR, "sRD value mismatch")
             ctx.required.storage.append(("GET", key, res.value))
-            ctx.counters.poseidon_g += 1
+            _bump(ctx, "poseidon_g")
 
     def _do_hash(self, ctx: Context, line: RomLine, prefix: str, table,
                  op, addr: int):
@@ -679,11 +721,11 @@ class MainExecutor:
             regs.HASHPOS = (regs.HASHPOS + nbytes) % P
             ctx._hash_bytes = nbytes
             if prefix == "hashK":
-                ctx.counters.keccak_f += 1
+                _bump(ctx, "keccak_f")
             elif prefix == "hashS":
-                ctx.counters.sha256_f += 1
+                _bump(ctx, "sha256_f")
             else:
-                ctx.counters.padding_pg += 1
+                _bump(ctx, "padding_pg")
         elif line.flag(prefix + "Len"):
             st.len = op[0]
         elif line.flag(prefix + "Digest"):

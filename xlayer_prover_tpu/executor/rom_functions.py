@@ -336,6 +336,91 @@ def receive_remainder_chunk(ctx, i):
     return int(ctx.vars["_mp_remainder"][int(i)])
 
 
+def load_scalar(ctx, v):
+    """eval_loadScalar: passthrough of the evaluated param
+    (eval_command.cpp:1747-1760)."""
+    return int(v)
+
+
+def fn_exp(ctx, a, b):
+    """eval_exp: unbounded a**b over mpz (eval_command.cpp:1355+)."""
+    return int(a) ** int(b)
+
+
+def sqrt_fp_ec(ctx, a):
+    """eval_sqrtFpEc: sqrt mod the secp256k1 prime via p = 3 mod 4
+    (eval_command.cpp:2196-2224; sqrtF3mod4)."""
+    r = pow(int(a) % SECP_P, (SECP_P + 1) // 4, SECP_P)
+    if r * r % SECP_P != int(a) % SECP_P:
+        return 0
+    return r
+
+
+def get_global_exit_root(ctx, *_):
+    """eval_getGlobalExitRoot (eval_command.cpp:1151-1164)."""
+    return int(ctx.input_vars.get("globalExitRoot", 0))
+
+
+def get_timestamp(ctx, *_):
+    return int(ctx.input_vars.get("timestamp",
+                                  ctx.input_vars.get("timestampLimit", 0)))
+
+
+def receive_len(ctx, *vals):
+    """eval_receiveLen: records the expected data length for the long
+    division helpers (companion of receiveLenQuotient/Remainder)."""
+    ctx.vars["_mp_len"] = int(vals[0]) if vals else 0
+    return 0
+
+
+def add_read_write_address(ctx, *vals):
+    """eval_addReadWriteAddress: tracer bookkeeping of touched state
+    addresses (full_tracer feed); recorded for the response builder."""
+    ctx.vars.setdefault("_rw_addresses", [])
+    ctx.vars["_rw_addresses"].append([int(v) for v in vals])
+    return 0
+
+
+def fn_log(ctx, *vals):
+    return 0
+
+
+def on_opcode(ctx, *params):
+    """eval_onOpcode: FullTracer per-opcode hook."""
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is not None:
+        tracer.on_opcode(ctx, params)
+    return 0
+
+
+def bitwise_and(ctx, a, b):
+    return int(a) & int(b)
+
+
+def bitwise_or(ctx, a, b):
+    return int(a) | int(b)
+
+
+def bitwise_xor(ctx, a, b):
+    return int(a) ^ int(b)
+
+
+def bitwise_not(ctx, a):
+    return int(a) ^ ((1 << 256) - 1)
+
+
+def comp_lt(ctx, a, b):
+    return int(int(a) < int(b))
+
+
+def comp_gt(ctx, a, b):
+    return int(int(a) > int(b))
+
+
+def comp_eq(ctx, a, b):
+    return int(int(a) == int(b))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -381,6 +466,22 @@ FUNCTIONS = {
     "receiveQuotientChunk_short": receive_quotient_chunk,
     "receiveRemainderChunk": receive_remainder_chunk,
     "receiveRemainderChunk_short": receive_remainder_chunk,
+    "loadScalar": load_scalar,
+    "exp": fn_exp,
+    "sqrtFpEc": sqrt_fp_ec,
+    "getGlobalExitRoot": get_global_exit_root,
+    "getTimestamp": get_timestamp,
+    "receiveLen": receive_len,
+    "addReadWriteAddress": add_read_write_address,
+    "log": fn_log,
+    "onOpcode": on_opcode,
+    "bitwise_and": bitwise_and,
+    "bitwise_or": bitwise_or,
+    "bitwise_xor": bitwise_xor,
+    "bitwise_not": bitwise_not,
+    "comp_lt": comp_lt,
+    "comp_gt": comp_gt,
+    "comp_eq": comp_eq,
 }
 
 

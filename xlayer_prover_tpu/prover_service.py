@@ -121,10 +121,13 @@ class ProverService:
 
     def __init__(self, setup_registry: Optional[Dict[str, object]] = None,
                  cleaner_ttl_s: float = 600.0,
-                 batch_prover: Optional[BatchProver] = None):
+                 batch_prover: Optional[BatchProver] = None,
+                 recursion_queries: int = 8):
         # name -> (air, Setup) pairs; "batch" is the batch-proof circuit
         self.setups: Dict[str, object] = setup_registry or {}
         self.batch_prover = batch_prover
+        self.recursion_queries = recursion_queries
+        self._rstack = {}
         self.requests: Dict[str, ProverRequest] = {}
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._lock = threading.Lock()
@@ -245,23 +248,43 @@ class ProverService:
         req.proof = proof
 
     def _gen_aggregated_proof(self, req: ProverRequest):
-        # recursion circuits (c12a/recursive1/recursive2) land in the next
-        # rounds; until then aggregation validates and re-wraps the two
-        # input proofs so the aggregator protocol round-trips.
+        """Two proofs -> one recursive proof (reference genAggregatedProof,
+        prover.cpp:676-825).
+
+        The recursion engines (recursion/engine.py) build the verifier-as-
+        circuit pipeline per proof shape: batch proofs first compress
+        through recursive1, then pairs aggregate through recursive2, whose
+        outputs are recursive2-shaped so aggregation trees of any depth
+        chain (the reference's recursive2-accepts-recursive2 property)."""
         p1 = req.payload["proof1"]
         p2 = req.payload["proof2"]
-        air, setup = self._get_setup(req.payload.get("circuit", "batch"))
-        for p in (p1, p2):
-            stark_verifier.verify(air, setup.verkey, p)
-        req.proof = {"aggregated": [p1, p2]}
+        stack = self._recursion_stack(req.payload.get("circuit", "batch"))
+        p1 = stack.lift(p1)
+        p2 = stack.lift(p2)
+        req.proof = stack.aggregate(p1, p2)
 
     def _gen_final_proof(self, req: ProverRequest):
+        """Final wrap (reference genFinalProof, prover.cpp:827-980): verify
+        the aggregate and re-prove it through the final recursion layer.
+        The Groth16/BN254 wrap over the recursiveF commitment stack follows
+        as that stack lands (snark/groth16.py is the engine)."""
         inner = req.payload["proof"]
-        air, setup = self._get_setup(req.payload.get("circuit", "batch"))
-        if isinstance(inner, dict) and "aggregated" in inner:
-            for p in inner["aggregated"]:
-                stark_verifier.verify(air, setup.verkey, p)
-        else:
-            stark_verifier.verify(air, setup.verkey, inner)
-        # Groth16 wrap (BN254 MSM) arrives with the recursion stack
-        req.proof = {"final": inner}
+        stack = self._recursion_stack(req.payload.get("circuit", "batch"))
+        req.proof = {"final": stack.finalize(inner)}
+
+    def _recursion_stack(self, circuit: str):
+        if getattr(self, "_rstack", None) is None:
+            self._rstack = {}
+        stack = self._rstack.get(circuit)
+        if stack is None:
+            from .recursion.stack import RecursionStack
+            if circuit == "batch" and self.batch_prover is not None:
+                air = self.batch_prover.air
+                verkey = self.batch_prover.setup().verkey
+            else:
+                air, setup = self._get_setup(circuit)
+                verkey = setup.verkey
+            stack = RecursionStack(air, verkey,
+                                   n_queries=self.recursion_queries)
+            self._rstack[circuit] = stack
+        return stack

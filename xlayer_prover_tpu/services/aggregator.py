@@ -151,8 +151,8 @@ class AggregatorClient:
 
     def _gen_aggregated(self, req):
         try:
-            p1 = StarkProof.from_json(req.recursive_proof_1)
-            p2 = StarkProof.from_json(req.recursive_proof_2)
+            p1 = self._parse_proof(req.recursive_proof_1)
+            p2 = self._parse_proof(req.recursive_proof_2)
         except Exception:
             return pb.GenAggregatedProofResponse(result=pb.RESULT_ERROR)
         preq = ProverRequest(RequestType.GEN_AGGREGATED_PROOF,
@@ -162,15 +162,9 @@ class AggregatorClient:
 
     def _gen_final(self, req):
         try:
-            inner = StarkProof.from_json(req.recursive_proof)
+            inner = self._parse_proof(req.recursive_proof)
         except Exception:
-            import json
-            try:
-                obj = json.loads(req.recursive_proof)
-                inner = {"aggregated": [StarkProof.from_json(p)
-                                        for p in obj["aggregated"]]}
-            except Exception:
-                return pb.GenFinalProofResponse(result=pb.RESULT_ERROR)
+            return pb.GenFinalProofResponse(result=pb.RESULT_ERROR)
         preq = ProverRequest(RequestType.GEN_FINAL_PROOF,
                              {"circuit": "batch", "proof": inner})
         uid = self.prover.submit(preq)
@@ -197,13 +191,36 @@ class AggregatorClient:
         return resp
 
     @staticmethod
+    def _parse_proof(blob: str):
+        """Wire proof -> StarkProof or RecursiveProof."""
+        import json
+        from ..recursion.stack import RecursiveProof
+        obj = json.loads(blob)
+        if isinstance(obj, dict) and "level" in obj and "proof" in obj:
+            return RecursiveProof(level=int(obj["level"]),
+                                  proof=StarkProof.from_json(
+                                      json.dumps(obj["proof"])
+                                      if not isinstance(obj["proof"], str)
+                                      else obj["proof"]))
+        return StarkProof.from_json(blob)
+
+    @staticmethod
     def _proof_json(proof) -> str:
         import json
+        from ..recursion.stack import RecursiveProof
         if isinstance(proof, StarkProof):
             return proof.to_json()
-        if isinstance(proof, dict) and "aggregated" in proof:
-            return json.dumps(
-                {"aggregated": [p.to_json() for p in proof["aggregated"]]})
+        if isinstance(proof, RecursiveProof):
+            return json.dumps({"level": proof.level,
+                               "proof": proof.proof.to_json()})
+        if isinstance(proof, dict) and "final" in proof:
+            inner = proof["final"]
+            if isinstance(inner, RecursiveProof):
+                return json.dumps({"final": {"level": inner.level,
+                                             "proof": inner.proof.to_json()}})
+            return json.dumps({"final": inner.to_json()
+                               if isinstance(inner, StarkProof) else inner},
+                              default=str)
         return json.dumps(proof, default=str)
 
 
