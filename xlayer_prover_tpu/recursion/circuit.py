@@ -58,6 +58,8 @@ class Tracer:
         self.input_wires: List[int] = []
         self.public_wires: List[int] = []
         self._const_cache = {}
+        self.scope = ""           # breadcrumb for witness-failure reports
+        self._op_scopes: list = []
         self.zero = self.constant(0)
         self.one = self.constant(1)
 
@@ -85,6 +87,7 @@ class Tracer:
             return hit
         c = self._new()
         # -c + value = 0
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a=c, b=c, c=c, qM=0, qL=0, qR=0, qO=P - 1,
                              qC=value))
         self._const_cache[value] = c
@@ -93,26 +96,31 @@ class Tracer:
     # -- base-field gates -------------------------------------------------
     def add(self, a: int, b: int) -> int:
         c = self._new()
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, b, c, 0, 1, 1, P - 1, 0))
         return c
 
     def sub(self, a: int, b: int) -> int:
         c = self._new()
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, b, c, 0, 1, P - 1, P - 1, 0))
         return c
 
     def mul(self, a: int, b: int) -> int:
         c = self._new()
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, b, c, 1, 0, 0, P - 1, 0))
         return c
 
     def addc(self, a: int, k: int) -> int:
         c = self._new()
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, a, c, 0, 1, 0, P - 1, int(k) % P))
         return c
 
     def mulc(self, a: int, k: int) -> int:
         c = self._new()
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, a, c, 0, int(k) % P, 0, P - 1, 0))
         return c
 
@@ -129,6 +137,7 @@ class Tracer:
                 acc = self.mulc(w, k) if k != 1 else w
             else:
                 c = self._new()
+                self._op_scopes.append(self.scope)
                 self.ops.append(Gate(acc, w, c, 0, 1, int(k) % P, P - 1, 0))
                 acc = c
         if acc is None:
@@ -138,16 +147,20 @@ class Tracer:
         return acc
 
     def assert_eq(self, a: int, b: int):
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, b, None, 0, 1, P - 1, 0, 0))
 
     def assert_zero(self, a: int):
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, a, None, 0, 1, 0, 0, 0))
 
     def assert_const(self, a: int, k: int):
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(a, a, None, 0, 1, 0, 0, (-int(k)) % P))
 
     def assert_bool(self, b: int):
         # b*b - b = 0
+        self._op_scopes.append(self.scope)
         self.ops.append(Gate(b, b, None, 1, P - 1, 0, 0, 0))
 
     def select(self, bit: int, x: int, y: int) -> int:
@@ -159,6 +172,7 @@ class Tracer:
     # -- hints ------------------------------------------------------------
     def hint(self, fn: Callable, ins: List[int], n_outs: int) -> List[int]:
         outs = [self._new() for _ in range(n_outs)]
+        self._op_scopes.append(self.scope)
         self.ops.append(HintOp(fn=fn, ins=list(ins), outs=outs))
         return outs
 
@@ -188,6 +202,7 @@ class Tracer:
     def poseidon(self, state: Sequence[int]) -> List[int]:
         assert len(state) == 12
         outs = [self._new() for _ in range(12)]
+        self._op_scopes.append(self.scope)
         self.ops.append(PoseidonOp(inputs=list(state), outputs=outs))
         return outs
 
@@ -260,7 +275,7 @@ class Tracer:
             (len(input_values), len(self.input_wires))
         for w, v in zip(self.input_wires, input_values):
             vals[w] = int(v) % P
-        for op in self.ops:
+        for oi, op in enumerate(self.ops):
             if isinstance(op, Gate):
                 if op.c is not None and op.qO != 0:
                     # c = (qM ab + qL a + qR b + qC) / (-qO)
@@ -275,8 +290,11 @@ class Tracer:
                            + (op.qO * vals[op.c] if op.c is not None else 0)
                            + op.qC) % P
                     if chk != 0:
-                        raise ValueError("assertion gate failed during "
-                                         "witness generation")
+                        where = self._op_scopes[oi] \
+                            if oi < len(self._op_scopes) else "?"
+                        raise ValueError(
+                            "assertion gate failed during witness "
+                            f"generation (op {oi}, scope '{where}')")
             elif isinstance(op, PoseidonOp):
                 out = poseidon_permute([vals[w] for w in op.inputs])
                 for w, v in zip(op.outputs, out):

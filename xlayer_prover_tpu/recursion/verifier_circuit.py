@@ -70,7 +70,9 @@ class CircuitTranscript:
         total_bits = n * n_bits
         n_fields = (total_bits - 1) // 63 + 1
         fields = [self.get_fields1() for _ in range(n_fields)]
-        field_bits = [self.t.bits(f, 63) for f in fields]
+        # 64-bit decomposition: field elements reach 2^64 - 2^32; only the
+        # low 63 bits feed indices (transcript.get_permutations semantics)
+        field_bits = [self.t.bits(f, 64) for f in fields]
         res = []
         cur_field = 0
         cur_bit = 0
@@ -274,6 +276,7 @@ def trace_verify(t: Tracer, air, verkey) -> ProofWires:
     vk = [t.constant(v) for v in verkey]
 
     # ---- transcript replay -------------------------------------------
+    t.scope = "transcript"
     tr = CircuitTranscript(t)
     tr.put(vk)
     tr.put(pw.publics)
@@ -303,6 +306,7 @@ def trace_verify(t: Tracer, air, verkey) -> ProofWires:
     ys_bits = tr.get_permutation_bits(air.n_queries, steps[0])
 
     # ---- quotient identity at xi -------------------------------------
+    t.scope = "quotient"
     xi = ch[CH_XI]
     xi_n = t.pow_static(xi, n)
     one3 = t.const3([1, 0, 0])
@@ -344,11 +348,13 @@ def trace_verify(t: Tracer, air, verkey) -> ProofWires:
         ybits = ys_bits[qi]
         trees = pw.step0_queries[qi]
         for ti in range(5):
+            t.scope = f"q{qi}-merkle{ti}"
             values, siblings = trees[ti]
             assert len(values) == tree_widths[ti]
             _verify_merkle(t, roots5[ti], ybits, values, siblings)
 
         # x_y = SHIFT * w_ext^y
+        t.scope = f"q{qi}-deep"
         x_y = t.mulc(_pow_from_bits(t, w_ext, ybits), gl.SHIFT)
         accs = {s_: t.const3([0, 0, 0]) for s_ in shifts}
         v1_pow = one3
@@ -374,6 +380,7 @@ def trace_verify(t: Tracer, air, verkey) -> ProofWires:
         # FRI fold chain
         shift_inv = gl.host_inv(gl.SHIFT)
         for si in range(1, len(steps)):
+            t.scope = f"q{qi}-fold{si}"
             bits_prev = steps[si - 1]
             bits_cur = steps[si]
             m = 1 << (bits_prev - bits_cur)
@@ -410,11 +417,13 @@ def trace_verify(t: Tracer, air, verkey) -> ProofWires:
             for _ in range(bits_prev - bits_cur):
                 shift_inv = (shift_inv * shift_inv) % P
 
+        t.scope = f"q{qi}-final"
         final_bits = ybits[:steps[-1]]
         sel_final = _mux3(t, pw.final_pol, final_bits)
         t.assert_eq3(sel_final, cur)
 
     # ---- final polynomial degree bound -------------------------------
+    t.scope = "degree-bound"
     last_bits = steps[-1]
     ext_bits = air.n_bits_ext - air.n_bits
     max_deg = 1 << max(0, last_bits - ext_bits)

@@ -227,6 +227,7 @@ class Air:
     connections: list          # [ConnectionCtx]
     publics_map: list          # [(section, col_index, row)]
     ev_map: list               # [EvMapEntry] built at compile
+    scheme: str = "gl"         # commitment scheme: "gl" | "bn128"
 
     @property
     def n(self):
@@ -255,8 +256,10 @@ class AirBuilder:
     """
 
     def __init__(self, name: str, n_bits: int, n_bits_ext: Optional[int] = None,
-                 n_queries: int = 16, fri_fold_bits: int = 2):
+                 n_queries: int = 16, fri_fold_bits: int = 2,
+                 scheme: str = "gl"):
         self.name = name
+        self.scheme = scheme
         self.n_bits = n_bits
         self._n_bits_ext = n_bits_ext
         self.n_queries = n_queries
@@ -389,6 +392,7 @@ class AirBuilder:
             connections=connections,
             publics_map=list(self._publics),
             ev_map=[],
+            scheme=self.scheme,
         )
 
         max_deg = 1

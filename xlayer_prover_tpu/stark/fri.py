@@ -64,7 +64,8 @@ def transpose_for_tree(values, bits: int, bits_next: int):
         n_groups, group * 3)
 
 
-def prove(transcript, fri_pol, air, trees_main_np, sources_main_np):
+def prove(transcript, fri_pol, air, trees_main_np, sources_main_np,
+          scheme=None):
     """FRI commit + query phases.
 
     fri_pol: gl3 triple of (n_ext,) arrays.
@@ -72,7 +73,10 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np):
     numpy sources for query openings (cm1..cm4, const order).
     Returns (fri_steps_data, final_pol_np) for the proof.
     """
+    from .commitment import get_scheme
     from .proof import FriStep, MerkleProofData
+    if scheme is None:
+        scheme = get_scheme(air)
 
     P = gl.P
     steps = air.fri_steps
@@ -96,10 +100,10 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np):
             pol_bits = steps[si]
         if si < len(steps) - 1:
             src = transpose_for_tree(layer, steps[si], steps[si + 1])
-            tree = merkle.merkelize(src, src.shape[1])
+            tree = scheme.merkelize(src, src.shape[1])
             fri_trees.append(tree)
             fri_sources.append(gl.to_u64_np(src))
-            root = [int(v) for v in tree.root_np()]
+            root = scheme.root(tree)
             roots.append(root)
             transcript.put(root)
         else:
@@ -118,17 +122,17 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np):
             if si == 0:
                 proofs = []
                 for tree, src in zip(trees_main_np, sources_main_np):
-                    proofs.append(_open(tree, src, idx))
+                    proofs.append(_open(scheme, tree, src, idx))
                 queries.append(proofs)
             else:
-                queries.append([_open(fri_trees[si], fri_sources[si], idx)])
+                queries.append([_open(scheme, fri_trees[si],
+                                      fri_sources[si], idx)])
         fri_steps_data.append(FriStep(root=roots[si] if si > 0 else None,
                                       queries=queries))
     return fri_steps_data, [[int(v) for v in row] for row in final_np], ys
 
 
-def _open(tree, source_np, idx: int):
+def _open(scheme, tree, source_np, idx: int):
     from .proof import MerkleProofData
-    path = merkle.get_proof(tree, idx)
-    return MerkleProofData(values=[int(v) for v in source_np[idx]],
-                           siblings=[[int(x) for x in s] for s in path])
+    values, siblings = scheme.open(tree, source_np, idx)
+    return MerkleProofData(values=values, siblings=siblings)

@@ -26,6 +26,7 @@ from . import air as air_mod
 from . import fri as fri_mod
 from . import lookup
 from .air import CH_BETA, CH_DEFVAL, CH_GAMMA, CH_U, CH_V1, CH_V2, CH_VC, CH_XI
+from .commitment import get_scheme
 from .eval import EvalEnv
 from .proof import StarkProof
 from .transcript import Transcript
@@ -48,17 +49,18 @@ class Setup:
     @staticmethod
     def build(air, const_np: np.ndarray) -> "Setup":
         assert const_np.shape == (air.n, air.const_width)
+        scheme = get_scheme(air)
         const_n = gl.from_u64_np(const_np.astype(np.uint64))
         if air.const_width:
             const_ext = ntt.extend_pol(const_n, air.n_bits_ext)
         else:
             const_ext = gl.zeros((air.n_ext, 0))
-        tree = merkle.merkelize(const_ext, air.const_width)
+        tree = scheme.merkelize(const_ext, air.const_width)
         return Setup(air=air, const_n=const_n, const_ext=const_ext,
                      const_tree=tree,
                      const_ext_np=gl.to_u64_np(const_ext),
                      const_n_np=const_np.astype(np.uint64),
-                     verkey=[int(v) for v in tree.root_np()])
+                     verkey=scheme.root(tree))
 
 
 def _domain_x(n_bits: int, shift: int = 1):
@@ -291,8 +293,9 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     assert len(publics) == air.n_publics
     assert cm1_np.shape == (n, air.cm1_width)
     host = not _use_jit_pipelines()
+    scheme = get_scheme(air)
 
-    transcript = Transcript()
+    transcript = scheme.transcript()
     transcript.put(setup.verkey)
     transcript.put(publics)
 
@@ -310,8 +313,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     t_r1.__enter__()
     cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
     cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)
-    tree1 = merkle.merkelize(cm1_ext, air.cm1_width)
-    root1 = [int(v) for v in tree1.root_np()]
+    tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
+    root1 = scheme.root(tree1)
     transcript.put(root1)
     t_r1.__exit__(None, None, None)
 
@@ -351,8 +354,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         cm2_ext = ntt.extend_pol(cm2_n, air.n_bits_ext)
     else:
         cm2_ext = gl.zeros((n_ext, 0))
-    tree2 = merkle.merkelize(cm2_ext, air.cm2_width)
-    root2 = [int(v) for v in tree2.root_np()]
+    tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
+    root2 = scheme.root(tree2)
     transcript.put(root2)
     sections_n["cm2"] = cm2_n
     sections_ext["cm2"] = cm2_ext
@@ -440,8 +443,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         cm3_ext = ntt.extend_pol(cm3_n, air.n_bits_ext)
     else:
         cm3_ext = gl.zeros((n_ext, 0))
-    tree3 = merkle.merkelize(cm3_ext, air.cm3_width)
-    root3 = [int(v) for v in tree3.root_np()]
+    tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
+    root3 = scheme.root(tree3)
     transcript.put(root3)
     sections_n["cm3"] = cm3_n
     sections_ext["cm3"] = cm3_ext
@@ -463,8 +466,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
         cm4_ext = jits["quotient"](setup.const_ext, cm1_ext, cm2_ext,
                                    cm3_ext, _challenges_array(challenges),
                                    publics_arr, x_ext, l1_ext, zi_ext)
-    tree4 = merkle.merkelize(cm4_ext, air.cm4_width)
-    root4 = [int(v) for v in tree4.root_np()]
+    tree4 = scheme.merkelize(cm4_ext, air.cm4_width)
+    root4 = scheme.root(tree4)
     transcript.put(root4)
     sections_ext["cm4"] = cm4_ext
     t_r4.__exit__(None, None, None)
@@ -509,7 +512,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
                         gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
                         setup.const_ext_np]
     fri_steps_data, final_pol, _ys = fri_mod.prove(
-        transcript, fri_pol, air, trees_main, sources_main)
+        transcript, fri_pol, air, trees_main, sources_main, scheme)
     t_fri.__exit__(None, None, None)
 
     return StarkProof(roots=[root1, root2, root3, root4],

@@ -79,7 +79,9 @@ def verify(air, verkey, proof: StarkProof) -> bool:
         raise VerifyError("evals length mismatch")
 
     # ---- transcript replay -------------------------------------------
-    t = Transcript()
+    from .commitment import get_scheme
+    scheme = get_scheme(air)
+    t = scheme.transcript()
     t.put(verkey)
     t.put(publics)
     t.put(proof.roots[0])
@@ -161,7 +163,7 @@ def verify(air, verkey, proof: StarkProof) -> bool:
             mp = q0[ti]
             if len(mp.values) != tree_widths[ti]:
                 raise VerifyError(f"query {qi}: tree {ti} width mismatch")
-            if not _verify_merkle(roots5[ti], y, mp.values, mp.siblings):
+            if not scheme.verify(roots5[ti], y, mp.values, mp.siblings):
                 raise VerifyError(f"query {qi}: tree {ti} merkle proof fails")
 
         # recompute friPol(x_y)
@@ -198,7 +200,7 @@ def verify(air, verkey, proof: StarkProof) -> bool:
             mp = st.queries[qi][0]
             if len(mp.values) != m * 3:
                 raise VerifyError(f"query {qi}: FRI step {si} group size")
-            if not _verify_merkle(st.root, idx_cur, mp.values, mp.siblings):
+            if not scheme.verify(st.root, idx_cur, mp.values, mp.siblings):
                 raise VerifyError(f"query {qi}: FRI step {si} merkle fails")
             group = [[v % P for v in mp.values[3 * k:3 * k + 3]]
                      for k in range(m)]
