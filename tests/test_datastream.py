@@ -44,3 +44,30 @@ def test_garbage_rejected():
     pad = b"\x00" + struct.pack(">I", 17) + struct.pack(">I", 0) + b"\x00" * 8
     batch = datastream2batch(pad)
     assert batch.batch_number == 0 and not batch.blocks
+
+
+@pytest.mark.skipif(not os.path.exists(VEC), reason="testvector absent")
+def test_batch_l2_data_reencoding():
+    """dataStreamBatch2batchL2Data equivalent: block markers + transcoded
+    txs (data_stream.cpp:515-556)."""
+    import json
+    from xlayer_prover_tpu.state.datastream import (batch_to_l2_data,
+                                                    datastream2batch)
+    d = json.load(open(VEC))
+    batch = datastream2batch(bytes.fromhex(d["dataStream"].removeprefix("0x")))
+    l2 = batch_to_l2_data(batch)
+    # one 0x0b change-block marker per block, at the right positions
+    assert l2[0] == 0x0B
+    pos = 0
+    markers = 0
+    for blk in batch.blocks:
+        assert l2[pos] == 0x0B
+        markers += 1
+        pos += 9                      # marker + deltaTs(4) + l1InfoIndex(4)
+        for tx in blk.txs:
+            from xlayer_prover_tpu.state.datastream import transcode_tx
+            enc = transcode_tx(tx.encoded_tx, batch.chain_id)
+            assert l2[pos:pos + len(enc)] == enc
+            pos += len(enc) + 1       # + effectivePercentage byte
+    assert markers == len(batch.blocks)
+    assert pos == len(l2)

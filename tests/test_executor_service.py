@@ -36,7 +36,7 @@ def service():
 
 def test_process_batch_v2(service):
     server, impl = service
-    process, flush = make_client(server.port)
+    process, flush, _stateless = make_client(server.port)
     req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32,
                                    batch_l2_data=b"\x01\x02")
     resp = process(req)
@@ -63,8 +63,50 @@ def test_process_batch_error_path(service):
     old = impl.executor
     impl.executor = Executor(bad_rom, n_bits=11, max_steps=10)
     try:
-        process, _ = make_client(server.port)
+        process, _, _sb = make_client(server.port)
         resp = process(pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32))
         assert resp.error == pb.EXECUTOR_ERROR_UNSPECIFIED
     finally:
         impl.executor = old
+
+
+def test_full_tracer_events():
+    """FullTracer collects batch/block/tx structure from eventLog hooks."""
+    from xlayer_prover_tpu.executor.full_tracer import FullTracer
+    from xlayer_prover_tpu.executor.main_sm import Context, MainExecutor
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.executor import rom_functions as rf
+    from xlayer_prover_tpu.state.hashdb import HashDB
+
+    def ev(name):
+        return {"op": "functionCall", "funcName": "eventLog",
+                "params": [{"op": "getVar", "varName": name}]}
+
+    prog = [
+        {"cmdBefore": [ev("onStartBatch")]},
+        {"cmdBefore": [ev("onStartBlock")]},
+        {"cmdBefore": [ev("onProcessTx")], "CONSTL": 77, "setSR": 1},
+        {"cmdBefore": [ev("onFinishTx")]},
+        {"cmdBefore": [ev("onFinishBlock")]},
+        {"cmdBefore": [ev("onFinishBatch")],
+         "cmdAfter": [{"op": "functionCall", "funcName": "eventLog",
+                       "params": [{"op": "getVar", "varName": "onError"},
+                                  {"op": "getVar", "varName": "invalidRLP"}]}]},
+        {"JMP": 1, "useJmpAddr": 1, "jmpAddr": 7},
+        {},
+    ]
+    rom = Rom.from_json({"program": prog,
+                         "labels": {"start": 0, "finalizeExecution": 7},
+                         "constants": {}})
+    ex = MainExecutor(rom, max_steps=64)
+    rf.register_all(ex)
+    ctx = Context(rom, HashDB())
+    ctx.full_tracer = FullTracer(rom)
+    ex.execute(ctx)
+    batch = ctx.full_tracer.batch
+    assert len(batch.blocks) == 1
+    assert len(batch.blocks[0].responses) == 1
+    tx = batch.blocks[0].responses[0]
+    assert tx.state_root == 77
+    assert batch.new_state_root == 77
+    assert batch.error == "" or batch.invalid_batch in (True, False)

@@ -175,6 +175,7 @@ class Context:
         # the Main SM polynomial commitment (models/zkevm/main_sm_air.py)
         self.trace: Optional[list] = None
         self._hash_bytes = 0
+        self.full_tracer = None       # executor/full_tracer.py when tracing
 
 
 def _bump(ctx: "Context", name: str, amount: int = 1):

@@ -72,14 +72,59 @@ def before_last(ctx):
     return ZERO8 if ctx.step >= limit else NEG1
 
 
+def _eval_simple(ctx, tree):
+    """Tiny evaluator for eventLog param trees (getReg/getVar/number)."""
+    op = tree.get("op")
+    if op == "getReg":
+        r = getattr(ctx.regs, tree["regName"])
+        if isinstance(r, list):
+            try:
+                return fea_to_scalar(r)
+            except Exception:
+                return 0
+        return int(r)
+    if op == "getVar":
+        return ctx.vars.get(tree["varName"], 0)
+    if op == "number":
+        return int(tree["num"])
+    return 0
+
+
 def event_log(ctx, *params):
-    # FullTracer hook (onOpcode/onFinishTx/...): recorded, no value
+    """FullTracer event hook (eval_command.cpp eval_eventLog): the first
+    param names the event (getVar onX, or a functionCall onX(args))."""
     ctx.vars.setdefault("_events", 0)
     ctx.vars["_events"] += 1
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is None or not params:
+        return 0
+    p0 = params[0]
+    if p0.get("op") == "functionCall":
+        name = p0.get("funcName", "")
+        values = [_eval_simple(ctx, a) for a in p0.get("params", [])]
+        tracer.handle_event(ctx, name, values)
+    else:
+        name = p0.get("varName", "")
+        if name == "onError":
+            err = params[1].get("varName", "") if len(params) > 1 else ""
+            tracer.on_error(ctx, [], name=err)
+        else:
+            values = [_eval_simple(ctx, a) for a in params[1:]]
+            tracer.handle_event(ctx, name, values)
     return 0
 
 
 def store_log(ctx, *params):
+    """LOG0..4 data collection (eval_storeLog): params are
+    (logIndex, isTopic, data) value trees."""
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is None:
+        return 0
+    vals = [_eval_simple(ctx, p) if isinstance(p, dict) else int(p)
+            for p in params]
+    while len(vals) < 3:
+        vals.append(0)
+    tracer.on_store_log(ctx, vals[0], vals[1], vals[2])
     return 0
 
 

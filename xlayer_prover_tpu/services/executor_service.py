@@ -39,25 +39,57 @@ class ExecutorServiceImpl:
         self.flushes = 0
 
     # -- RPC handlers ---------------------------------------------------
+    def _input_vars_from_request(self, request) -> dict:
+        """Honor the request envelope (the reference maps proto -> Input,
+        executor_service.cpp:60-120)."""
+        return {
+            "oldStateRoot": int.from_bytes(request.old_state_root, "big"),
+            "oldAccInputHash": int.from_bytes(request.old_acc_input_hash,
+                                              "big"),
+            "batchL2Data": request.batch_l2_data.hex(),
+            "sequencerAddr": int(request.coinbase, 16)
+            if request.coinbase else 0,
+            "timestampLimit": request.timestamp_limit,
+            "l1InfoRoot": int.from_bytes(request.l1_info_root, "big"),
+            "forcedBlockHashL1": int.from_bytes(request.forced_blockhash_l1,
+                                                "big"),
+            "chainID": request.chain_id,
+            "forkID": request.fork_id,
+            "oldBatchNum": request.old_batch_num,
+        }
+
+    def _run_batch(self, resp, uuid: str, input_vars: dict):
+        from ..executor.full_tracer import FullTracer
+        ctx = self.executor.process_batch(self.hashdb, batch_uuid=uuid,
+                                          input_vars=input_vars,
+                                          trace=False)
+        return ctx
+
     def process_batch_v2(self, request, context):
         resp = pb.ProcessBatchResponseV2()
-        uuid = f"pb-{id(request):x}-{self.flushes}"
+        uuid = request.context_id or f"pb-{id(request):x}-{self.flushes}"
         try:
-            old_root = int.from_bytes(request.old_state_root, "big")
-            ctx = self.executor.process_batch(
-                self.hashdb, batch_uuid=uuid,
-                input_vars={"oldStateRoot": old_root,
-                            "batchL2Data": request.batch_l2_data.hex()})
+            from ..executor.full_tracer import FullTracer
+            from ..executor.main_sm import Context as ExCtx
+            input_vars = self._input_vars_from_request(request)
+            ctx = ExCtx(self.executor.rom, self.hashdb, uuid, input_vars)
+            ctx.full_tracer = FullTracer(self.executor.rom)
+            self.executor.main.execute(ctx, self.executor.start_label,
+                                       self.executor.stop_label)
             new_root = 0
             for i, limb in enumerate(ctx.regs.SR):
                 new_root |= int(limb) << (32 * i)
             resp.new_state_root = new_root.to_bytes(32, "big")
             resp.cnt_keccak_hashes = ctx.counters.keccak_f
             resp.cnt_poseidon_hashes = ctx.counters.poseidon_g
+            resp.cnt_poseidon_paddings = ctx.counters.padding_pg
+            resp.cnt_sha256_hashes = ctx.counters.sha256_f
             resp.cnt_arithmetics = ctx.counters.arith
             resp.cnt_binaries = ctx.counters.binary
             resp.cnt_steps = ctx.counters.steps
             resp.cnt_mem_aligns = ctx.counters.mem_align
+            resp.fork_id = request.fork_id or 9
+            self._fill_trace(resp, ctx)
             resp.error = pb.EXECUTOR_ERROR_NO_ERROR
             self.flushes += 1
             resp.flush_id = self.flushes
@@ -74,6 +106,95 @@ class ExecutorServiceImpl:
             resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
         return resp
 
+    @staticmethod
+    def _fill_trace(resp, ctx):
+        """FullTracer -> ProcessBatchResponseV2 block/tx/log structures
+        (executor.proto:331-573)."""
+        tracer = ctx.full_tracer
+        if tracer is None:
+            return
+        batch = tracer.batch
+        resp.gas_used = batch.gas_used
+        resp.invalid_batch = batch.invalid_batch
+        for blk in batch.blocks:
+            b = resp.block_responses.add()
+            b.block_number = blk.block_number
+            b.timestamp = blk.timestamp
+            b.coinbase = f"0x{blk.coinbase:040x}"
+            b.gas_used = blk.gas_used
+            b.parent_hash = blk.parent_hash.to_bytes(32, "big")
+            b.block_hash = blk.block_hash.to_bytes(32, "big")
+            b.error = _rom_error_code(blk.error)
+            for tx in blk.responses:
+                t = b.responses.add()
+                t.tx_hash = tx.tx_hash.to_bytes(32, "big")
+                t.tx_hash_l2 = tx.tx_hash_l2.to_bytes(32, "big")
+                t.block_number = blk.block_number
+                t.gas_left = tx.gas_left
+                t.gas_used = tx.gas_used
+                t.state_root = tx.state_root.to_bytes(32, "big")
+                t.error = _rom_error_code(tx.error)
+                for lg in tx.logs:
+                    l = t.logs.add()
+                    l.address = f"0x{lg.address:040x}"
+                    for topic in lg.topics:
+                        l.topics.append(int(topic).to_bytes(32, "big"))
+                    l.data = lg.data
+                    l.index = lg.index
+                    l.tx_index = lg.tx_index
+                    l.block_number = lg.block_number
+
+    def process_stateless_batch_v2(self, request, context):
+        """ProcessStatelessBatchV2 (executor.proto:13): rebuild the state
+        from the Erigon witness blob, decode the datastream into
+        batchL2Data, then run the standard path."""
+        resp = pb.ProcessBatchResponseV2()
+        uuid = request.context_id or f"sb-{id(request):x}"
+        try:
+            from ..state.witness import witness2db
+            from ..state.datastream import batch_to_l2_data, datastream2batch
+            from ..executor.full_tracer import FullTracer
+            from ..executor.main_sm import Context as ExCtx
+            wres = witness2db(request.witness)
+            for key, vals in wres.db.items():
+                self.hashdb.db.write(key, vals)
+            for key, code in wres.programs.items():
+                self.hashdb.db.set_program(key, code)
+            batch = datastream2batch(request.data_stream)
+            l2_data = batch_to_l2_data(batch)
+            input_vars = {
+                "oldStateRoot": wres.state_root,
+                "chainID": batch.chain_id,
+                "forkID": batch.fork_id,
+                "batchL2Data": l2_data.hex(),
+                "sequencerAddr": int(request.coinbase, 16)
+                if request.coinbase else 0,
+                "timestampLimit": request.timestamp_limit,
+                "l1InfoRoot": int.from_bytes(request.l1_info_root, "big"),
+                "forcedBlockHashL1": int.from_bytes(
+                    request.forced_blockhash_l1, "big"),
+                "oldAccInputHash": int.from_bytes(
+                    request.old_acc_input_hash, "big"),
+            }
+            ctx = ExCtx(self.executor.rom, self.hashdb, uuid, input_vars)
+            ctx.full_tracer = FullTracer(self.executor.rom)
+            self.executor.main.execute(ctx, self.executor.start_label,
+                                       self.executor.stop_label)
+            new_root = 0
+            for i, limb in enumerate(ctx.regs.SR):
+                new_root |= int(limb) << (32 * i)
+            resp.new_state_root = new_root.to_bytes(32, "big")
+            resp.cnt_steps = ctx.counters.steps
+            self._fill_trace(resp, ctx)
+            resp.error = pb.EXECUTOR_ERROR_NO_ERROR
+        except ZkError as e:
+            zklog.error(f"executor stateless: {e}")
+            resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
+        except Exception as e:  # noqa: BLE001
+            zklog.error(f"executor stateless: {e}")
+            resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
+        return resp
+
     def get_flush_status(self, request, context):
         resp = pb.GetFlushStatusResponse()
         resp.stored_flush_id = self.stored_flush_id
@@ -81,6 +202,35 @@ class ExecutorServiceImpl:
         resp.pending_to_flush_nodes = 0
         resp.pending_to_flush_program = 0
         return resp
+
+
+_ROM_ERRORS = {
+    "": pb.ROM_ERROR_NO_ERROR,
+    "romError": pb.ROM_ERROR_UNSPECIFIED,
+    "OOG": pb.ROM_ERROR_OUT_OF_GAS,
+    "invalidRLP": pb.ROM_ERROR_INVALID_RLP,
+    "invalidDecodeChangeL2Block": pb.ROM_ERROR_INVALID_DECODE_CHANGE_L2_BLOCK,
+    "invalidNotFirstTxChangeL2Block":
+        pb.ROM_ERROR_INVALID_NOT_FIRST_TX_CHANGE_L2_BLOCK,
+    "invalidIntrinsicTxSignature": pb.ROM_ERROR_INTRINSIC_INVALID_SIGNATURE,
+    "invalidIntrinsicTxChainId": pb.ROM_ERROR_INTRINSIC_INVALID_CHAIN_ID,
+    "invalidIntrinsicTxNonce": pb.ROM_ERROR_INTRINSIC_INVALID_NONCE,
+    "invalidIntrinsicTxGasLimit": pb.ROM_ERROR_INTRINSIC_INVALID_GAS_LIMIT,
+    "invalidIntrinsicTxBalance": pb.ROM_ERROR_INTRINSIC_INVALID_BALANCE,
+    "invalidIntrinsicTxGasOverflow": pb.ROM_ERROR_INTRINSIC_TX_GAS_OVERFLOW,
+    "invalidIntrinsicTxSenderCode": pb.ROM_ERROR_INTRINSIC_INVALID_SENDER_CODE,
+    "invalidJump": pb.ROM_ERROR_INVALID_JUMP,
+    "invalidOpcode": pb.ROM_ERROR_INVALID_OPCODE,
+    "invalidStaticTx": pb.ROM_ERROR_INVALID_STATIC,
+    "revert": pb.ROM_ERROR_EXECUTION_REVERTED,
+    "overflowStack": pb.ROM_ERROR_STACK_OVERFLOW,
+    "underflowStack": pb.ROM_ERROR_STACK_UNDERFLOW,
+}
+
+
+def _rom_error_code(name: str) -> int:
+    return _ROM_ERRORS.get(name, pb.ROM_ERROR_UNSPECIFIED
+                           if name else pb.ROM_ERROR_NO_ERROR)
 
 
 class ExecutorServer:
@@ -94,6 +244,13 @@ class ExecutorServer:
                 impl.process_batch_v2,
                 request_deserializer=pb.ProcessBatchRequestV2.FromString,
                 response_serializer=pb.ProcessBatchResponseV2.SerializeToString,
+            ),
+            "ProcessStatelessBatchV2": grpc.unary_unary_rpc_method_handler(
+                impl.process_stateless_batch_v2,
+                request_deserializer=
+                pb.ProcessStatelessBatchRequestV2.FromString,
+                response_serializer=
+                pb.ProcessBatchResponseV2.SerializeToString,
             ),
             "GetFlushStatus": grpc.unary_unary_rpc_method_handler(
                 impl.get_flush_status,
@@ -124,4 +281,8 @@ def make_client(port: int):
         f"/{SERVICE}/GetFlushStatus",
         request_serializer=empty_pb2.Empty.SerializeToString,
         response_deserializer=pb.GetFlushStatusResponse.FromString)
-    return pb_call, fs_call
+    sb_call = channel.unary_unary(
+        f"/{SERVICE}/ProcessStatelessBatchV2",
+        request_serializer=pb.ProcessStatelessBatchRequestV2.SerializeToString,
+        response_deserializer=pb.ProcessBatchResponseV2.FromString)
+    return pb_call, fs_call, sb_call

@@ -154,3 +154,93 @@ def datastream2batch(data: bytes) -> DataStreamBatch:
         # unknown data entry types are tolerated (forward compat), like the
         # reference's default branch logging-and-continuing
     return batch
+
+
+# ---------------------------------------------------------------------------
+# batchL2Data re-encoding (reference dataStreamBatch2batchL2Data,
+# data_stream.cpp:515-556, and transcodeTx :558-668)
+# ---------------------------------------------------------------------------
+
+def _rlp_decode_list(data: bytes):
+    """Minimal RLP list-of-strings decoder."""
+    if not data or data[0] < 0xC0:
+        raise ZkError(ZkResult.DATA_STREAM_ERROR
+                      if hasattr(ZkResult, "DATA_STREAM_ERROR")
+                      else ZkResult.INVALID_INPUT, "not an RLP list")
+    if data[0] <= 0xF7:
+        plen = data[0] - 0xC0
+        pos = 1
+    else:
+        lsize = data[0] - 0xF7
+        plen = int.from_bytes(data[1:1 + lsize], "big")
+        pos = 1 + lsize
+    end = pos + plen
+    fields = []
+    while pos < end:
+        b0 = data[pos]
+        if b0 <= 0x7F:
+            fields.append(data[pos:pos + 1])
+            pos += 1
+        elif b0 <= 0xB7:
+            n = b0 - 0x80
+            fields.append(data[pos + 1:pos + 1 + n])
+            pos += 1 + n
+        elif b0 <= 0xBF:
+            lsize = b0 - 0xB7
+            n = int.from_bytes(data[pos + 1:pos + 1 + lsize], "big")
+            fields.append(data[pos + 1 + lsize:pos + 1 + lsize + n])
+            pos += 1 + lsize + n
+        else:
+            raise ZkError(ZkResult.INVALID_INPUT, "nested RLP list in tx")
+    return fields
+
+
+def _rlp_encode_str(b: bytes) -> bytes:
+    if len(b) == 1 and b[0] <= 0x7F:
+        return b
+    if len(b) <= 55:
+        return bytes([0x80 + len(b)]) + b
+    lb = len(b).to_bytes((len(b).bit_length() + 7) // 8, "big")
+    return bytes([0xB7 + len(lb)]) + lb + b
+
+
+def _rlp_encode_list(fields) -> bytes:
+    payload = b"".join(_rlp_encode_str(f) for f in fields)
+    if len(payload) <= 55:
+        return bytes([0xC0 + len(payload)]) + payload
+    lb = len(payload).to_bytes((len(payload).bit_length() + 7) // 8, "big")
+    return bytes([0xF7 + len(lb)]) + lb + payload
+
+
+def transcode_tx(encoded_tx: bytes, batch_chain_id: int) -> bytes:
+    """Signed legacy tx RLP -> the ROM's batch encoding: RLP with
+    (chainId, "", "") in the signature slots, then r(32) s(32) v(1)."""
+    fields = _rlp_decode_list(encoded_tx)
+    if len(fields) != 9:
+        raise ZkError(ZkResult.INVALID_INPUT,
+                      f"tx RLP has {len(fields)} fields, expected 9")
+    txv = int.from_bytes(fields[6], "big")
+    chain_id = (txv - 35) // 2
+    if chain_id != batch_chain_id:
+        raise ZkError(ZkResult.INVALID_INPUT,
+                      f"tx chainId {chain_id} != batch {batch_chain_id}")
+    v = txv - chain_id * 2 - 35 + 27
+    r = int.from_bytes(fields[7], "big")
+    s = int.from_bytes(fields[8], "big")
+    cid = batch_chain_id.to_bytes(4, "big").lstrip(b"\x00")
+    out_fields = fields[:6] + [cid, b"", b""]
+    return (_rlp_encode_list(out_fields)
+            + r.to_bytes(32, "big") + s.to_bytes(32, "big") + bytes([v]))
+
+
+def batch_to_l2_data(batch: "DataStreamBatch") -> bytes:
+    """DataStreamBatch -> batchL2Data bytes (block markers + txs)."""
+    out = bytearray()
+    for block in batch.blocks:
+        out.append(0x0B)                              # changeL2Block
+        out += int(block.delta_timestamp).to_bytes(4, "big")
+        out += int(block.l1_info_tree_index).to_bytes(4, "big")
+        for tx in block.txs:
+            out += transcode_tx(tx.encoded_tx, batch.chain_id)
+            out.append(tx.gas_price_percentage & 0xFF)
+    return bytes(out)
