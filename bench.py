@@ -230,8 +230,17 @@ def _executor_bench():
         from xlayer_prover_tpu.executor.rom import Rom
         from xlayer_prover_tpu.state.hashdb import HashDB
         rom = Rom.load("/root/reference/src/main_sm/fork_9/scripts/rom.json")
-        ex = MainExecutor(rom, max_steps=1 << 22)
-        rf.register_all(ex)
+        try:
+            from xlayer_prover_tpu.executor.nexec import (NativeMainExecutor,
+                                                          available)
+            if available():
+                ex = NativeMainExecutor(rom, max_steps=1 << 22)
+                rf.register_all(ex.py)
+            else:
+                raise ImportError
+        except Exception:
+            ex = MainExecutor(rom, max_steps=1 << 22)
+            rf.register_all(ex)
         inp = BatchInput.load(vec)
         hdb = HashDB()
         inp.load_db(hdb)

@@ -185,3 +185,54 @@ def test_mini_program_hashk():
     ctx = _run(prog, {"start": 0, "finalizeExecution": 4}, max_steps=10)
     assert fea_to_scalar(ctx.regs.A) == digest
     assert ctx.regs.HASHPOS == 2
+
+
+def test_native_executor_parity():
+    """Native fast-execution core matches the Python interpreter on the
+    real fork_9 testvector (registers + counters)."""
+    import os
+    import pytest as _pytest
+    from xlayer_prover_tpu.executor import nexec
+    if not nexec.available():
+        _pytest.skip("libnexec.so not built")
+    rom_path = "/root/reference/src/main_sm/fork_9/scripts/rom.json"
+    vec = "/root/reference/testvectors/e2e/fork_9/input_executor_0.json"
+    if not (os.path.exists(rom_path) and os.path.exists(vec)):
+        _pytest.skip("reference testvectors absent")
+    from xlayer_prover_tpu.executor import rom_functions as rf
+    from xlayer_prover_tpu.executor.input import BatchInput
+    from xlayer_prover_tpu.executor.main_sm import Context
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.state.hashdb import HashDB
+    rom = Rom.load(rom_path)
+    inp = BatchInput.load(vec)
+    results = []
+    for make in (lambda: _py(rom), lambda: _nat(rom)):
+        ex = make()
+        hdb = HashDB()
+        inp.load_db(hdb)
+        ctx = Context(rom, hdb, input_vars=inp.input_vars())
+        inp.setup_registers(ctx)
+        ex.execute(ctx)
+        results.append(ctx)
+    c1, c2 = results
+    for r in ("A", "B", "C", "D", "E", "SR", "CTX", "SP", "PC", "GAS",
+              "RR", "HASHPOS", "RCX"):
+        assert getattr(c1.regs, r) == getattr(c2.regs, r), r
+    assert c1.counters == c2.counters
+
+
+def _py(rom):
+    from xlayer_prover_tpu.executor import rom_functions as rf
+    from xlayer_prover_tpu.executor.main_sm import MainExecutor
+    ex = MainExecutor(rom, max_steps=1 << 22)
+    rf.register_all(ex)
+    return ex
+
+
+def _nat(rom):
+    from xlayer_prover_tpu.executor import rom_functions as rf
+    from xlayer_prover_tpu.executor.nexec import NativeMainExecutor
+    ex = NativeMainExecutor(rom, max_steps=1 << 22)
+    rf.register_all(ex.py)
+    return ex

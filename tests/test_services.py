@@ -79,8 +79,8 @@ def test_batch_aggregate_final_script(stack):
 
     proofs = []
     for k, uid in enumerate(ids):
-        reply = server.ask(f"gp-{k}", get_proof_request=
-                           pb.GetProofRequest(id=uid, timeout=300))
+        reply = server.ask(f"gp-{k}", timeout=600.0, get_proof_request=
+                           pb.GetProofRequest(id=uid, timeout=600))
         assert reply.get_proof_response.result == \
             pb.GetProofResponse.RESULT_COMPLETED_OK, \
             reply.get_proof_response.result_string
@@ -93,8 +93,8 @@ def test_batch_aggregate_final_script(stack):
                            recursive_proof_2=proofs[1]))
     assert reply.gen_aggregated_proof_response.result == pb.RESULT_OK
     agg_id = reply.gen_aggregated_proof_response.id
-    reply = server.ask("gp-agg", get_proof_request=
-                       pb.GetProofRequest(id=agg_id, timeout=1200))
+    reply = server.ask("gp-agg", timeout=2400.0, get_proof_request=
+                       pb.GetProofRequest(id=agg_id, timeout=2400))
     assert reply.get_proof_response.result == \
         pb.GetProofResponse.RESULT_COMPLETED_OK
     agg_proof = reply.get_proof_response.recursive_proof
@@ -107,8 +107,8 @@ def test_batch_aggregate_final_script(stack):
                                                aggregator_addr="0xabc"))
     assert reply.gen_final_proof_response.result == pb.RESULT_OK
     fin_id = reply.gen_final_proof_response.id
-    reply = server.ask("gp-fin", get_proof_request=
-                       pb.GetProofRequest(id=fin_id, timeout=600))
+    reply = server.ask("gp-fin", timeout=1200.0, get_proof_request=
+                       pb.GetProofRequest(id=fin_id, timeout=1200))
     assert reply.get_proof_response.result == \
         pb.GetProofResponse.RESULT_COMPLETED_OK
     fin_obj = json.loads(reply.get_proof_response.recursive_proof)

@@ -1,6 +1,7 @@
 #!/bin/bash
-# Build the native host-side crypto library (ctypes-loaded).
+# Build the native host-side libraries (ctypes-loaded).
 set -e
 SRC_DIR=$(dirname "$0")/../xlayer_prover_tpu/native
 g++ -O3 -march=native -shared -fPIC -o "$SRC_DIR/libzkcrypto.so" "$SRC_DIR/zkcrypto.cpp"
-echo "built $SRC_DIR/libzkcrypto.so"
+g++ -O3 -march=native -shared -fPIC -o "$SRC_DIR/libnexec.so" "$SRC_DIR/nexec.cpp"
+echo "built $SRC_DIR/libzkcrypto.so $SRC_DIR/libnexec.so"

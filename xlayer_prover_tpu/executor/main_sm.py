@@ -193,6 +193,29 @@ class CommandError(ZkError):
         super().__init__(ZkResult.PROVER_ERROR, msg)
 
 
+_BINOP_LAMBDAS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a // b if b else 0,
+    "mod": lambda a, b: a % b if b else 0,
+    "or": lambda a, b: a | b,
+    "bitor": lambda a, b: a | b,
+    "and": lambda a, b: a & b,
+    "bitand": lambda a, b: a & b,
+    "xor": lambda a, b: a ^ b,
+    "bitxor": lambda a, b: a ^ b,
+    "bitnot": lambda a, b: a ^ MASK256,
+    "shl": lambda a, b: a << b,
+    "shr": lambda a, b: a >> b,
+    "lt": lambda a, b: int(a < b),
+    "gt": lambda a, b: int(a > b),
+    "eq": lambda a, b: int(a == b),
+    "ne": lambda a, b: int(a != b),
+    "not": lambda a, b: int(not a),
+}
+
+
 class MainExecutor:
     """The machine. `functions` is the freeInTag function-call registry."""
 
@@ -201,6 +224,89 @@ class MainExecutor:
         self.max_steps = max_steps
         self.functions: Dict[str, Callable] = {}
         self._enc_cache: Dict[int, dict] = {}
+        self._cmd_cache: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # command-tree compilation: each ROM command tree compiles once into
+    # nested closures (the reference compiles them to C++ via
+    # main_generator; this is the Python-tier equivalent — no dict
+    # lookups or recursive dispatch on the hot path)
+    # ------------------------------------------------------------------
+    def compile_command(self, cmd: dict) -> Callable:
+        op = cmd.get("op")
+        if op == "number":
+            v = int(cmd["num"])
+            return lambda ctx: v
+        if op == "getReg":
+            name = cmd["regName"]
+            if name in ("A", "B", "C", "D", "E", "SR"):
+                def get_vec(ctx, _n=name):
+                    return fea_to_scalar(getattr(ctx.regs, _n))
+                return get_vec
+            return lambda ctx, _n=name: int(getattr(ctx.regs, _n))
+        if op == "declareVar":
+            name = cmd["varName"]
+
+            def declare(ctx, _n=name):
+                ctx.vars[_n] = 0
+                return 0
+            return declare
+        if op == "setVar":
+            name = cmd["values"][0].get("varName")
+            val_f = self.compile_command(cmd["values"][1])
+
+            def setvar(ctx, _n=name, _f=val_f):
+                v = _f(ctx)
+                ctx.vars[_n] = v
+                return v
+            return setvar
+        if op == "getVar":
+            name = cmd["varName"]
+
+            def getvar(ctx, _n=name):
+                if _n in ctx.vars:
+                    return ctx.vars[_n]
+                if _n in ctx.input_vars:
+                    return int(ctx.input_vars[_n])
+                raise CommandError(f"undefined var {_n}")
+            return getvar
+        if op == "if":
+            c_f = self.compile_command(cmd["values"][0])
+            t_f = self.compile_command(cmd["values"][1])
+            e_f = self.compile_command(cmd["values"][2])
+            return lambda ctx: t_f(ctx) if c_f(ctx) else e_f(ctx)
+        if op == "getMemValue":
+            off = int(cmd["offset"])
+            return lambda ctx: fea_to_scalar(ctx.mem.get(off, ZERO8))
+        if op == "functionCall":
+            name = cmd["funcName"]
+            if name in RAW_PARAM_FUNCTIONS:
+                raw = cmd.get("params", [])
+
+                def call_raw(ctx, _n=name, _raw=raw, _self=self):
+                    fn = _self.functions.get(_n)
+                    if fn is None:
+                        raise CommandError(f"unimplemented ROM function {_n}")
+                    return fn(ctx, *_raw)
+                return call_raw
+            param_fs = [self.compile_command(pc)
+                        for pc in cmd.get("params", [])]
+
+            def call(ctx, _n=name, _pf=param_fs, _self=self):
+                fn = _self.functions.get(_n)
+                if fn is None:
+                    raise CommandError(f"unimplemented ROM function {_n}")
+                return fn(ctx, *[f(ctx) for f in _pf])
+            return call
+        if op in _BINOP_LAMBDAS:
+            vals = [self.compile_command(v) for v in cmd["values"]]
+            fn = _BINOP_LAMBDAS[op]
+            if len(vals) == 1:
+                a_f = vals[0]
+                return lambda ctx, _f=fn, _a=a_f: _f(_a(ctx), 0)
+            a_f, b_f = vals[0], vals[1]
+            return lambda ctx, _f=fn, _a=a_f, _b=b_f: _f(_a(ctx), _b(ctx))
+        raise CommandError(f"unknown command op {op}")
 
     def _line_encoding(self, line: RomLine) -> dict:
         enc = self._enc_cache.get(line.zkpc)
@@ -345,8 +451,21 @@ class MainExecutor:
             addr += MEM_OFFSET
         return addr
 
+    def _line_cmds(self, line: RomLine):
+        bundle = self._cmd_cache.get(line.zkpc)
+        if bundle is None:
+            before = [self.compile_command(c) for c in line.cmd_before]
+            after = [self.compile_command(c) for c in line.cmd_after]
+            freein = None
+            if line.free_in_tag and line.free_in_tag.get("op"):
+                freein = self.compile_command(line.free_in_tag)
+            bundle = (before, after, freein)
+            self._cmd_cache[line.zkpc] = bundle
+        return bundle
+
     def execute_line(self, ctx: Context, line: RomLine, step: int):
         regs = ctx.regs
+        cmd_before, cmd_after, freein_f = self._line_cmds(line)
         if ctx.trace is not None:
             rec = {
                 "zkPC": regs.zkPC,
@@ -364,8 +483,8 @@ class MainExecutor:
                 "enc": self._line_encoding(line),
             }
             ctx._hash_bytes = 0
-        for cmd in line.cmd_before:
-            self.eval_command(ctx, cmd)
+        for fn in cmd_before:
+            fn(ctx)
 
         # ---- op accumulation: 8 field limbs ---------------------------
         op = [0] * 8
@@ -410,10 +529,10 @@ class MainExecutor:
         # free input
         fi8 = None
         if line.free_in_tag is not None:
-            if not line.free_in_tag or not line.free_in_tag.get("op"):
+            if freein_f is None:
                 fi8 = self._free_in_default(ctx, line)
             else:
-                res = self.eval_command(ctx, line.free_in_tag)
+                res = freein_f(ctx)
                 # functions may return raw 8-limb field lists (e.g. cond's
                 # field -1, which exceeds the 32-bit scalar limbs)
                 fi8 = [int(v) % P for v in res] if isinstance(res, list) \
@@ -517,8 +636,8 @@ class MainExecutor:
             rec["rcxNext"] = regs.RCX
             ctx.trace.append(rec)
 
-        for cmd in line.cmd_after:
-            self.eval_command(ctx, cmd)
+        for fn in cmd_after:
+            fn(ctx)
 
     # ------------------------------------------------------------------
     def _free_in_default(self, ctx, line):
@@ -639,10 +758,10 @@ class MainExecutor:
             if line.flag("arithEq1"):
                 if (c - a) % SECP_P == 0:
                     raise ZkError(ZkResult.PROVER_ERROR, "ECADD x1 == x2")
-                slope = ((d - b) * pow(c - a, SECP_P - 2, SECP_P)) % SECP_P
+                slope = ((d - b) * pow(c - a, -1, SECP_P)) % SECP_P
                 x3 = (slope * slope - a - c) % SECP_P
             else:
-                slope = (3 * a * a * pow(2 * b, SECP_P - 2, SECP_P)) % SECP_P
+                slope = (3 * a * a * pow(2 * b, -1, SECP_P)) % SECP_P
                 x3 = (slope * slope - 2 * a) % SECP_P
             y3 = (slope * (a - x3) - b) % SECP_P
             if e != x3 or res != y3:

@@ -1,0 +1,316 @@
+"""Native fast-execution driver (ctypes glue for native/nexec.cpp).
+
+The reference answers executor latency with generated C++
+(main_exec_generated_fast.cpp via src/main_generator/); here the ROM is
+pre-decoded into flat arrays interpreted by a native core, with lines that
+need the command evaluator / storage / hashing dispatched back to the
+Python interpreter on shared state.  `NativeMainExecutor.execute` is a
+drop-in for `MainExecutor.execute` on the fast (no-trace) path; runs fall
+back to pure Python automatically if the library is not built
+(tools/build_native.sh).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..utils.zkresult import ZkError, ZkResult
+from .main_sm import Context, MainExecutor, ZERO8
+from .rom import IN_FIELDS, SET_FIELDS, Rom
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
+                         "libnexec.so")
+
+# flag bits (must mirror native/nexec.cpp)
+F_MOP, F_MWR, F_USECTX, F_ISSTACK, F_ISMEM, F_IND, F_INDRR = \
+    (1 << i for i in range(7))
+F_JMP, F_JMPC, F_JMPN, F_JMPZ, F_CALL, F_RETURN, F_USEJMPADDR, F_USEELSE = \
+    (1 << i for i in range(7, 15))
+F_ASSERT, F_BIN, F_EQ0, F_REPEAT, F_HASCONST, F_HASCONSTL, F_PYLINE, \
+    F_FREE_DEFAULT, F_INFREE, F_INFREE0 = (1 << i for i in range(15, 25))
+
+# shared-state slot indices (must mirror native/nexec.cpp)
+S_A, S_B, S_C, S_D, S_E, S_SR = 0, 8, 16, 24, 32, 40
+(S_CTX, S_SP, S_PC, S_GAS, S_RR, S_HASHPOS, S_RCX, S_ZKPC, S_CARRY,
+ S_STEP) = range(48, 58)
+(S_CNT_STEPS, S_CNT_ARITH, S_CNT_BINARY, S_CNT_KECCAK, S_CNT_SHA,
+ S_CNT_MEMALIGN, S_CNT_PADPG, S_CNT_POSG) = range(58, 66)
+S_SIZE = 56 + 24
+
+P = (1 << 64) - (1 << 32) + 1
+
+_STEP_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64,
+                            ctypes.c_uint64)
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.nexec_new.restype = ctypes.c_void_p
+    lib.nexec_new.argtypes = [
+        ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, u64p, _STEP_CB, ctypes.c_void_p]
+    lib.nexec_free.argtypes = [ctypes.c_void_p]
+    lib.nexec_run.restype = ctypes.c_int
+    lib.nexec_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                              ctypes.c_int64, ctypes.c_uint64]
+    lib.nexec_mem_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p]
+    lib.nexec_mem_set.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_rom(rom: Rom):
+    """ROM -> flat arrays for the native core."""
+    n = len(rom.program)
+    flags = np.zeros(n, dtype=np.uint32)
+    sets = np.zeros(n, dtype=np.uint32)
+    in_used = np.zeros(n, dtype=np.uint32)
+    in_coeffs = np.zeros((n, len(IN_FIELDS)), dtype=np.uint64)
+    const_limbs = np.zeros((n, 8), dtype=np.uint64)
+    offset = np.zeros(n, dtype=np.int64)
+    jmp_addr = np.zeros(n, dtype=np.int32)
+    else_addr = np.zeros(n, dtype=np.int32)
+    bin_opcode = np.zeros(n, dtype=np.uint8)
+
+    flag_bits = {
+        "mOp": F_MOP, "mWR": F_MWR, "useCTX": F_USECTX,
+        "isStack": F_ISSTACK, "isMem": F_ISMEM, "ind": F_IND,
+        "indRR": F_INDRR, "JMP": F_JMP, "JMPC": F_JMPC, "JMPN": F_JMPN,
+        "JMPZ": F_JMPZ, "call": F_CALL, "return": F_RETURN,
+        "useJmpAddr": F_USEJMPADDR, "useElseAddr": F_USEELSE,
+        "assert": F_ASSERT, "bin": F_BIN, "repeat": F_REPEAT,
+    }
+    py_flags = ["sRD", "sWR", "arithEq1", "arithEq2", "arithEq3",
+                "arithEq4", "arithEq5", "memAlignRD", "memAlignWR",
+                "memAlignWR8", "hashK", "hashK1", "hashKLen", "hashKDigest",
+                "hashP", "hashP1", "hashPLen", "hashPDigest", "hashS",
+                "hashS1", "hashSLen", "hashSDigest", "save", "restore"]
+
+    for i, line in enumerate(rom.program):
+        fl = 0
+        for name, bit in flag_bits.items():
+            if line.flag(name):
+                fl |= bit
+        pyline = (bool(line.cmd_before) or bool(line.cmd_after)
+                  or (line.free_in_tag is not None
+                      and line.free_in_tag.get("op")))
+        pyline = pyline or any(line.flag(f) for f in py_flags)
+        any_arith = line.flag("arith") or any(line.flag(f"arithEq{k}")
+                                              for k in range(6))
+        if any_arith:
+            only_eq0 = line.flag("arithEq0") or not any(
+                line.flag(f"arithEq{k}") for k in range(1, 6))
+            if only_eq0:
+                fl |= F_EQ0
+            else:
+                pyline = True
+        if pyline:
+            fl |= F_PYLINE
+        if line.free_in_tag is not None and not line.free_in_tag.get("op"):
+            fl |= F_FREE_DEFAULT
+        if line.has_const or line.has_constl:
+            fl |= F_HASCONSTL
+            if line.has_constl:
+                c = line.constl % (1 << 256)
+                for k in range(8):
+                    const_limbs[i, k] = (c >> (32 * k)) & 0xFFFFFFFF
+            else:
+                const_limbs[i, 0] = line.const % P
+        flags[i] = fl
+        sbits = 0
+        for k, name in enumerate(SET_FIELDS):
+            if name in line.sets:
+                sbits |= 1 << k
+        sets[i] = sbits
+        used = 0
+        for k, name in enumerate(IN_FIELDS):
+            v = line.ins.get(name)
+            if v:
+                used |= 1 << k
+                in_coeffs[i, k] = v % P
+        in_used[i] = used
+        offset[i] = line.offset
+        jmp_addr[i] = line.jmp_addr or 0
+        else_addr[i] = line.else_addr or 0
+        bin_opcode[i] = line.bin_opcode
+    return dict(flags=flags, sets=sets, in_used=in_used,
+                in_coeffs=in_coeffs, const_limbs=const_limbs,
+                offset=offset, jmp_addr=jmp_addr, else_addr=else_addr,
+                bin_opcode=bin_opcode)
+
+
+class _NativeMem:
+    """dict-like Context.mem backed by the native map."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+        self._buf = (ctypes.c_uint64 * 8)()
+
+    def get(self, addr, default=None):
+        self._lib.nexec_mem_get(self._h, int(addr), self._buf)
+        return [int(v) for v in self._buf]
+
+    def __getitem__(self, addr):
+        return self.get(addr)
+
+    def __setitem__(self, addr, val):
+        buf = (ctypes.c_uint64 * 8)(*[int(v) % P for v in val])
+        self._lib.nexec_mem_set(self._h, int(addr), buf)
+
+    def __contains__(self, addr):
+        return True      # reads of absent addresses return zeros
+
+
+_ERR_NAMES = {
+    -1: "max steps", -2: "assert fails", -3: "memory read mismatch",
+    -4: "binary check fails", -5: "arithEq0 fails", -6: "fea2scalar",
+    -7: "JMPN invalid S33 value", -8: "callback error",
+    -9: "address out of range",
+}
+
+
+class NativeMainExecutor:
+    """Drop-in MainExecutor for the fast path, native-core driven."""
+
+    def __init__(self, rom: Rom, max_steps: int = 1 << 23):
+        self.rom = rom
+        self.max_steps = max_steps
+        self.py = MainExecutor(rom, max_steps=max_steps)
+        self.functions = self.py.functions
+        self._arrays = decode_rom(rom)
+        self._lib = _load()
+        assert self._lib is not None, \
+            "libnexec.so not built (tools/build_native.sh)"
+
+    def execute(self, ctx: Context, start_label: str = "start",
+                stop_label: Optional[str] = "finalizeExecution"):
+        lib = self._lib
+        a = self._arrays
+        state = np.zeros(S_SIZE, dtype=np.uint64)
+        cb_error = []
+
+        start_pc = self.rom.label(start_label) if start_label else 0
+        stop_pc = self.rom.labels.get(stop_label, -1) if stop_label else -1
+
+        # push initial registers
+        regs = ctx.regs
+        self._push(state, ctx)
+
+        @_STEP_CB
+        def cb(_user, zkpc, step):
+            try:
+                self._pull(state, ctx)
+                ctx.step = int(step)
+                line = self.rom.program[int(zkpc)]
+                self.py.execute_line(ctx, line, int(step))
+                self._push(state, ctx)
+                return 0
+            except Exception as e:  # noqa: BLE001 - crosses the C boundary
+                cb_error.append(e)
+                return 1
+
+        handle = lib.nexec_new(
+            len(self.rom.program),
+            a["flags"].ctypes.data_as(ctypes.c_void_p),
+            a["sets"].ctypes.data_as(ctypes.c_void_p),
+            a["in_used"].ctypes.data_as(ctypes.c_void_p),
+            a["in_coeffs"].ctypes.data_as(ctypes.c_void_p),
+            a["const_limbs"].ctypes.data_as(ctypes.c_void_p),
+            a["offset"].ctypes.data_as(ctypes.c_void_p),
+            a["jmp_addr"].ctypes.data_as(ctypes.c_void_p),
+            a["else_addr"].ctypes.data_as(ctypes.c_void_p),
+            a["bin_opcode"].ctypes.data_as(ctypes.c_void_p),
+            state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cb, None)
+        try:
+            ctx.mem = _NativeMem(lib, handle)
+            ctx.max_steps = self.max_steps
+            rc = lib.nexec_run(handle, start_pc, stop_pc, self.max_steps)
+            if cb_error:
+                raise cb_error[0]
+            if rc != 1:
+                if rc == -1:
+                    raise ZkError(ZkResult.OUT_OF_COUNTERS_STEP,
+                                  "max steps reached")
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"native executor: "
+                              f"{_ERR_NAMES.get(rc, rc)} at zkPC="
+                              f"{int(state[S_ZKPC])}")
+            self._pull(state, ctx)
+            ctx.done = True
+            return ctx
+        finally:
+            # keep a plain-dict snapshot of memory semantics for callers
+            lib.nexec_free(handle)
+            if isinstance(ctx.mem, _NativeMem):
+                ctx.mem = {}
+
+    # -- state sync ------------------------------------------------------
+    @staticmethod
+    def _push(state, ctx):
+        regs = ctx.regs
+        for base, reg in ((S_A, regs.A), (S_B, regs.B), (S_C, regs.C),
+                          (S_D, regs.D), (S_E, regs.E), (S_SR, regs.SR)):
+            state[base:base + 8] = [int(v) % P for v in reg]
+        state[S_CTX] = regs.CTX % P
+        state[S_SP] = regs.SP % P
+        state[S_PC] = regs.PC % P
+        state[S_GAS] = regs.GAS % P
+        state[S_RR] = regs.RR % P
+        state[S_HASHPOS] = regs.HASHPOS % P
+        state[S_RCX] = regs.RCX % P
+        state[S_ZKPC] = regs.zkPC
+        state[S_CARRY] = ctx.carry
+        c = ctx.counters
+        state[S_CNT_STEPS] = c.steps
+        state[S_CNT_ARITH] = c.arith
+        state[S_CNT_BINARY] = c.binary
+        state[S_CNT_KECCAK] = c.keccak_f
+        state[S_CNT_SHA] = c.sha256_f
+        state[S_CNT_MEMALIGN] = c.mem_align
+        state[S_CNT_PADPG] = c.padding_pg
+        state[S_CNT_POSG] = c.poseidon_g
+
+    @staticmethod
+    def _pull(state, ctx):
+        regs = ctx.regs
+        for base, name in ((S_A, "A"), (S_B, "B"), (S_C, "C"), (S_D, "D"),
+                           (S_E, "E"), (S_SR, "SR")):
+            setattr(regs, name, [int(v) for v in state[base:base + 8]])
+        regs.CTX = int(state[S_CTX])
+        regs.SP = int(state[S_SP])
+        regs.PC = int(state[S_PC])
+        regs.GAS = int(state[S_GAS])
+        regs.RR = int(state[S_RR])
+        regs.HASHPOS = int(state[S_HASHPOS])
+        regs.RCX = int(state[S_RCX])
+        regs.zkPC = int(state[S_ZKPC])
+        ctx.carry = int(state[S_CARRY])
+        c = ctx.counters
+        c.steps = int(state[S_CNT_STEPS])
+        c.arith = int(state[S_CNT_ARITH])
+        c.binary = int(state[S_CNT_BINARY])
+        c.keccak_f = int(state[S_CNT_KECCAK])
+        c.sha256_f = int(state[S_CNT_SHA])
+        c.mem_align = int(state[S_CNT_MEMALIGN])
+        c.padding_pg = int(state[S_CNT_PADPG])
+        c.poseidon_g = int(state[S_CNT_POSG])

@@ -151,13 +151,13 @@ def _regs_point2(ctx):
 def _ec_add(x1, y1, x2, y2):
     if x1 == x2 and (y1 + y2) % SECP_P == 0:
         raise ZeroDivisionError("point at infinity")
-    s = ((y2 - y1) * pow(x2 - x1, SECP_P - 2, SECP_P)) % SECP_P
+    s = ((y2 - y1) * pow(x2 - x1, -1, SECP_P)) % SECP_P
     x3 = (s * s - x1 - x2) % SECP_P
     y3 = (s * (x1 - x3) - y1) % SECP_P
     return x3, y3
 
 def _ec_dbl(x1, y1):
-    s = (3 * x1 * x1 * pow(2 * y1, SECP_P - 2, SECP_P)) % SECP_P
+    s = (3 * x1 * x1 * pow(2 * y1, -1, SECP_P)) % SECP_P
     x3 = (s * s - 2 * x1) % SECP_P
     y3 = (s * (x1 - x3) - y1) % SECP_P
     return x3, y3
@@ -199,7 +199,7 @@ def inverse_fp_ec(ctx, a=None):
     a = (int(a) if a is not None else fea_to_scalar(ctx.regs.A)) % SECP_P
     if a == 0:
         raise ZeroDivisionError("inverseFpEc(0)")
-    return pow(a, SECP_P - 2, SECP_P)
+    return pow(a, -1, SECP_P) if a % SECP_P else 0
 
 
 def inverse_fn_ec(ctx, a=None):
@@ -231,7 +231,7 @@ def fp_bn254_inv(ctx, a=None):
     a = (int(a) if a is not None else fea_to_scalar(ctx.regs.A)) % BN254_P
     if a == 0:
         raise ZeroDivisionError("fpBN254inv(0)")
-    return pow(a, BN254_P - 2, BN254_P)
+    return pow(a, -1, BN254_P) if a % BN254_P else 0
 
 
 def _fp2_from_regs(ctx):
@@ -265,13 +265,13 @@ def arith_bn254_mulfp2_y(ctx):
 
 def fp2_inv_bn254_x(ctx):
     x, y = fea_to_scalar(ctx.regs.A) % BN254_P, fea_to_scalar(ctx.regs.B) % BN254_P
-    den = pow(x * x + y * y, BN254_P - 2, BN254_P)
+    den = pow(x * x + y * y, -1, BN254_P)
     return (x * den) % BN254_P
 
 
 def fp2_inv_bn254_y(ctx):
     x, y = fea_to_scalar(ctx.regs.A) % BN254_P, fea_to_scalar(ctx.regs.B) % BN254_P
-    den = pow(x * x + y * y, BN254_P - 2, BN254_P)
+    den = pow(x * x + y * y, -1, BN254_P)
     return (-y * den) % BN254_P
 
 
