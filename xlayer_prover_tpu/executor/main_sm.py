@@ -142,6 +142,7 @@ class Required:
     memory: list = dataclasses.field(default_factory=list)
     mem_align: list = dataclasses.field(default_factory=list)
     storage: list = dataclasses.field(default_factory=list)
+    poseidon: list = dataclasses.field(default_factory=list)
 
 
 class HashState:
@@ -785,15 +786,19 @@ class MainExecutor:
         ctx.required.arith.append((3, a, b, c, d, res))
 
     @staticmethod
-    def _storage_key(regs):
+    def _storage_key(regs, required=None):
         """Poseidon key from registers (main_executor.cpp:1080-1115):
         Kin0 = C limbs (slot), Kin1 = A0..A5 (address), B0,B1 (leaf type),
-        capacity = Poseidon(Kin0)."""
+        capacity = Poseidon(Kin0).  Permutation inputs are recorded as
+        PoseidonG SM requests when `required` is given."""
         from ..native import poseidon_permute
         kin0 = [int(v) for v in regs.C] + [0, 0, 0, 0]
         cap = poseidon_permute(kin0)[:4]
         kin1 = [int(v) for v in regs.A[0:6]] + [int(regs.B[0]),
                                                 int(regs.B[1])] + list(cap)
+        if required is not None:
+            required.poseidon.append(list(kin0))
+            required.poseidon.append(list(kin1))
         return tuple(poseidon_permute(kin1)[:4])
 
     @staticmethod
@@ -812,7 +817,7 @@ class MainExecutor:
 
     def _do_storage(self, ctx: Context, line: RomLine, op):
         regs = ctx.regs
-        key = self._storage_key(regs)
+        key = self._storage_key(regs, ctx.required)
         old_root = self._root_quad(regs.SR)
         if line.flag("sWR"):
             value = fea_to_scalar(regs.D)

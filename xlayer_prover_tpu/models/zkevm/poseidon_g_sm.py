@@ -1,14 +1,15 @@
-"""PoseidonG SM: permutation-instance trace for all Poseidon requests.
+"""PoseidonG SM: provable permutation-instance circuit + trace expander.
 
-Equivalent of the reference PoseidonG SM (src/sm/poseidon_g/): every
-Poseidon invocation from the Main SM, PaddingPG and the Storage SM becomes
-a full-round-decomposition trace block.  Round-1 scope: the expander —
-collect (input12 -> output12) instances, batch-evaluate them (native C++
-or the XLA scan path), and emit the per-round state decomposition rows the
-circuit commits (31 rows per instance: state after each of the 30 rounds,
-plus the input row).  The AIR (one row per round with the round function as
-constraints, mirroring ops/pallas_poseidon.py's kernel structure) lands
-with the gate-SM connection arguments.
+Equivalent of the reference PoseidonG SM (src/sm/poseidon_g/
+poseidon_g_executor.cpp): every Poseidon invocation becomes a 31-row block
+(input state + state after each of the 30 rounds) whose round function is
+enforced by constraints: with committed S-box ladder columns
+t2 = s^2, t4 = t2^2, t6 = t4*t2 (s = state + round constant), the
+x^7 S-box is s*t6 and the MDS multiply keeps every constraint at
+degree <= 4 — the same ladder the recursion gate AIR uses
+(recursion/gate_air.py).  The expander fills blocks from the executor's
+recorded Poseidon requests (storage key derivations + SMT value hashes,
+Required.poseidon) and cross-checks against the native permutation.
 """
 
 from __future__ import annotations
@@ -21,6 +22,102 @@ import numpy as np
 from ...native import poseidon_permute
 from ...ops import poseidon_constants as pc
 from ...ops.merkle import _host_permute
+from ...stark.air import AirBuilder, Const
+
+ROWS_PER_PERM = 31
+
+
+@dataclasses.dataclass
+class PoseidonGLayout:
+    fixed: dict
+    witness: dict
+
+
+def build(builder: AirBuilder, n_bits: int) -> PoseidonGLayout:
+    """Add the PoseidonG column group + round constraints to the AIR."""
+    consts, mds, _ = pc.get_params()
+    fixed = {"PROW": builder.fixed("PG_PROW"),
+             "PFULL": builder.fixed("PG_PFULL")}
+    for j in range(12):
+        fixed[f"PC{j}"] = builder.fixed(f"PG_PC{j}")
+    w = {}
+    for j in range(12):
+        w[f"ps{j}"] = builder.witness(f"pg_ps{j}")
+    for name in ("t2", "t4", "t6"):
+        for j in range(12):
+            w[f"{name}{j}"] = builder.witness(f"pg_{name}{j}")
+
+    one = Const(1)
+    sbx = {}
+    for j in range(12):
+        s_j = w[f"ps{j}"] + fixed[f"PC{j}"]
+        builder.constrain(w[f"t2{j}"] - s_j * s_j)
+        builder.constrain(w[f"t4{j}"] - w[f"t2{j}"] * w[f"t2{j}"])
+        builder.constrain(w[f"t6{j}"] - w[f"t4{j}"] * w[f"t2{j}"])
+        st6 = s_j * w[f"t6{j}"]
+        if j == 0:
+            sbx[j] = st6
+        else:
+            sbx[j] = fixed["PFULL"] * st6 + (one - fixed["PFULL"]) * s_j
+    for j in range(12):
+        acc = None
+        for k in range(12):
+            term = sbx[k] * Const(mds[k][j])
+            acc = term if acc is None else acc + term
+        builder.constrain(fixed["PROW"] * (w[f"ps{j}"].shifted() - acc))
+    return PoseidonGLayout(fixed=fixed, witness=w)
+
+
+def fill_fixed(layout: PoseidonGLayout, const_np: np.ndarray):
+    n = const_np.shape[0]
+    consts, _, _ = pc.get_params()
+    n_blocks = n // ROWS_PER_PERM
+    for b in range(n_blocks):
+        r0 = b * ROWS_PER_PERM
+        for r in range(30):
+            const_np[r0 + r, layout.fixed["PROW"].index] = 1
+            if r < 4 or r >= 26:
+                const_np[r0 + r, layout.fixed["PFULL"].index] = 1
+            for j in range(12):
+                const_np[r0 + r, layout.fixed[f"PC{j}"].index] =                     consts[r * 12 + j]
+
+
+def expand_into(layout: PoseidonGLayout, requests: List[list],
+                cm1_np: np.ndarray):
+    """Fill committed columns from Poseidon requests; returns instances."""
+    GLP = 0xFFFFFFFF00000001
+    n = cm1_np.shape[0]
+    assert len(requests) * ROWS_PER_PERM <= n, "too many poseidon requests"
+    consts, _, _ = pc.get_params()
+    instances = expand(requests)
+    w = layout.witness
+    # committed states; padding blocks replay the zero-input permutation
+    # (the reference pads the same way, poseidon_g_executor.cpp:255-305)
+    zero_rounds = _round_states([0] * 12)
+    n_blocks = n // ROWS_PER_PERM
+    for bi in range(n_blocks):
+        r0 = bi * ROWS_PER_PERM
+        rounds = instances[bi].rounds if bi < len(instances) else zero_rounds
+        for r, state in enumerate(rounds):
+            for j in range(12):
+                cm1_np[r0 + r, w[f"ps{j}"].index] = state[j]
+    # aux ladder on EVERY row (global constraints; PC = 0 on pad rows)
+    pc_cols = np.zeros((n, 12), dtype=np.uint64)
+    for b in range(n // ROWS_PER_PERM):
+        r0 = b * ROWS_PER_PERM
+        for r in range(30):
+            for j in range(12):
+                pc_cols[r0 + r, j] = consts[r * 12 + j]
+    from ...fields import glh
+    for j in range(12):
+        s = glh.add(cm1_np[:, w[f"ps{j}"].index], pc_cols[:, j])
+        t2 = glh.mul(s, s)
+        t4 = glh.mul(t2, t2)
+        t6 = glh.mul(t4, t2)
+        cm1_np[:, w[f"t2{j}"].index] = t2
+        cm1_np[:, w[f"t4{j}"].index] = t4
+        cm1_np[:, w[f"t6{j}"].index] = t6
+    return instances
 
 
 @dataclasses.dataclass

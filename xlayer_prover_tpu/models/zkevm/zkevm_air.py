@@ -27,7 +27,7 @@ import dataclasses
 import numpy as np
 
 from ...stark.air import AirBuilder
-from . import arith_sm, binary_sm, main_sm_air, memory_sm
+from . import arith_sm, binary_sm, main_sm_air, memory_sm, poseidon_g_sm
 
 
 @dataclasses.dataclass
@@ -36,6 +36,7 @@ class ZkevmLayout:
     binary: binary_sm.BinaryLayout
     memory: memory_sm.MemoryLayout
     arith: arith_sm.ArithLayout
+    poseidon: poseidon_g_sm.PoseidonGLayout
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
@@ -46,6 +47,7 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
     binl = binary_sm.build(b, n_bits, chunk_bits)
     meml = memory_sm.build(b, n_bits)
     aril = arith_sm.build(b, 256, limb_bits)
+    posl = poseidon_g_sm.build(b, n_bits)
 
     mw, mf = main.witness, main.fixed
 
@@ -95,7 +97,8 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
                   t_sel=meml.witness["active"])
 
     air = b.compile()
-    return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril)
+    return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
+                            poseidon=posl)
 
 
 def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
@@ -111,6 +114,7 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     binary_sm.fill_fixed(layout.binary, const_np)
     memory_sm.fill_fixed(layout.memory, const_np)
     arith_sm.fill_fixed(layout.arith, const_np)
+    poseidon_g_sm.fill_fixed(layout.poseidon, const_np)
 
     cm1 = np.zeros((n, air.cm1_width), dtype=np.uint64)
     main_sm_air.expand_trace(layout.main, records, final_regs, cm1)
@@ -122,6 +126,7 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     eq0_actions = [(a, b, c) for (kind, a, b, c, _d, _res) in required.arith
                    if kind == 0]
     arith_sm.expand_trace(layout.arith, eq0_actions, cm1)
+    poseidon_g_sm.expand_into(layout.poseidon, list(required.poseidon), cm1)
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
     return const_np, cm1, publics

@@ -60,7 +60,10 @@ def lde_sharded(section, n_bits_ext: int, mesh):
     NTT on C/d columns with zero per-stage communication; the two reshards
     are single all_to_alls over ICI.
     """
-    section = jax.lax.with_sharding_constraint(section, col_sharding(mesh))
+    n_dev = mesh.devices.size
+    if section.shape[1] % n_dev == 0:
+        section = jax.lax.with_sharding_constraint(section,
+                                                   col_sharding(mesh))
     ext = ntt.extend_pol(section, n_bits_ext)
     return jax.lax.with_sharding_constraint(ext, row_sharding(mesh))
 

@@ -94,11 +94,12 @@ class BatchProver:
             n = self.air.n
             const_np = np.zeros((n, self.air.const_width), dtype=np.uint64)
             from .models.zkevm import arith_sm, binary_sm, main_sm_air, \
-                memory_sm
+                memory_sm, poseidon_g_sm
             main_sm_air.fill_fixed(self.executor.layout.main, const_np)
             binary_sm.fill_fixed(self.executor.layout.binary, const_np)
             memory_sm.fill_fixed(self.executor.layout.memory, const_np)
             arith_sm.fill_fixed(self.executor.layout.arith, const_np)
+            poseidon_g_sm.fill_fixed(self.executor.layout.poseidon, const_np)
             self._setup = stark_prover.Setup.build(self.air, const_np)
         return self._setup
 

@@ -285,15 +285,23 @@ def _x_div_x_sub_traced(x_ext, point3):
     return gl3.mul_base(gl3.batch_inv(diff), x_ext)
 
 
-def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
+def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
+              mesh=None) -> StarkProof:
+    """Generate a STARK proof; with `mesh` (jax.sharding.Mesh) the row axis
+    of every section is sharded across the devices (SURVEY §2.7 P7/P8: the
+    reference's shared 51 GB buffer + OpenMP loops become GSPMD arrays with
+    ICI collectives).  Sharding only changes the partitioning, never the
+    values: sharded and unsharded proofs are byte-identical (tested)."""
     air = setup.air
     n, n_ext = air.n, air.n_ext
     blowup = n_ext // n
     publics = [int(p) % P for p in publics]
     assert len(publics) == air.n_publics
     assert cm1_np.shape == (n, air.cm1_width)
-    host = not _use_jit_pipelines()
+    host = (not _use_jit_pipelines()) and mesh is None
     scheme = get_scheme(air)
+    if mesh is not None:
+        return _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme)
 
     transcript = scheme.transcript()
     transcript.put(setup.verkey)
@@ -514,6 +522,174 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics) -> StarkProof:
     fri_steps_data, final_pol, _ys = fri_mod.prove(
         transcript, fri_pol, air, trees_main, sources_main, scheme)
     t_fri.__exit__(None, None, None)
+
+    return StarkProof(roots=[root1, root2, root3, root4],
+                      evals=evals,
+                      fri_steps=fri_steps_data,
+                      final_pol=final_pol,
+                      publics=publics)
+
+
+def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
+    """The sharded prover: every device stage runs under the mesh with the
+    row axis partitioned; the grand-product scan uses the shard_map
+    distributed scan (parallel/pipeline.py)."""
+    import jax
+    from ..parallel import pipeline as par
+
+    air = setup.air
+    n, n_ext = air.n, air.n_ext
+    blowup = n_ext // n
+
+    transcript = scheme.transcript()
+    transcript.put(setup.verkey)
+    transcript.put(publics)
+
+    x_n = _domain_x(air.n_bits)
+    x_ext = _domain_x(air.n_bits_ext, shift=gl.SHIFT)
+    l1_n = _l1_values_n(n)
+    l1_ext = _l1_values_ext(air)
+    zi_ext = _zi_values_ext(air)
+    publics_dev = [gl.full((), p) for p in publics]
+    challenges = {}
+    row = par.row_sharding(mesh)
+
+    def shard(sec):
+        return jax.device_put(sec, row)
+
+    with mesh:
+        # ---- round 1 --------------------------------------------------
+        cm1_n = shard(gl.from_u64_np(cm1_np.astype(np.uint64)))
+        cm1_ext = par.lde_sharded(cm1_n, air.n_bits_ext, mesh)
+        tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
+        root1 = scheme.root(tree1)
+        transcript.put(root1)
+        sections_n = {"const": shard(setup.const_n), "cm1": cm1_n}
+        sections_ext = {"const": shard(setup.const_ext), "cm1": cm1_ext}
+
+        # ---- round 2 --------------------------------------------------
+        challenges[CH_U] = _challenge_triple(transcript)
+        challenges[CH_DEFVAL] = _challenge_triple(transcript)
+        env = EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
+        cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
+        for pu in air.plookups:
+            f_np = _expr_to_np(env, pu.f_exp)
+            t_np = _expr_to_np(env, pu.t_exp)
+            h1, h2 = lookup.calculate_h1h2(f_np, t_np)
+            d = f_np.shape[1]
+            cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
+            cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
+        cm2_n = shard(gl.from_u64_np(cm2_np))
+        cm2_ext = par.lde_sharded(cm2_n, air.n_bits_ext, mesh)             if air.cm2_width else gl.zeros((n_ext, 0))
+        tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
+        root2 = scheme.root(tree2)
+        transcript.put(root2)
+        sections_n["cm2"] = cm2_n
+        sections_ext["cm2"] = cm2_ext
+
+        # ---- round 3: distributed grand-product scans ------------------
+        challenges[CH_GAMMA] = _challenge_triple(transcript)
+        challenges[CH_BETA] = _challenge_triple(transcript)
+        env = EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
+        gamma = air_mod.Challenge(CH_GAMMA)
+        beta = air_mod.Challenge(CH_BETA)
+        one_plus_beta = beta + 1
+        gb = gamma * one_plus_beta
+        gp = par.build_grand_product_sharded(mesh)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+        tri_shard = tuple(NamedSharding(mesh, PS(par.AXIS))
+                          for _ in range(3))
+
+        def z_of(num_e, den_e):
+            num_v = tuple(jax.device_put(c, tri_shard[0])
+                          for c in env.eval_ext(num_e))
+            den_v = tuple(jax.device_put(c, tri_shard[0])
+                          for c in env.eval_ext(den_e))
+            return gp(num_v, den_v)
+
+        cm3_n = gl.zeros((n, air.cm3_width))
+        im_fills = []
+        for pu in air.plookups:
+            f, t = pu.f_exp, pu.t_exp
+            h1c, h2c = pu.h1_col, pu.h2_col
+            num = one_plus_beta * (gamma + f)                 * (gb + t + beta * air_mod._shift_expr(t))
+            den = (gb + h1c + beta * h2c) * (gb + h2c + beta * h1c.shifted())
+            cm3_n = _set_cols(cm3_n, pu.z_col.index, z_of(num, den))
+        for pe in air.permutations:
+            cm3_n = _set_cols(cm3_n, pe.z_col.index,
+                              z_of(pe.f_exp + gamma, pe.t_exp + gamma))
+        for ci in air.connections:
+            xx = air_mod.XSymbol()
+            num_factors = [c + beta * k * xx + gamma
+                           for c, k in zip(ci.cols, ci.k_coeffs)]
+            den_factors = [c + beta * sc + gamma
+                           for c, sc in zip(ci.cols, ci.s_cols)]
+            if not ci.num_ims:
+                num = air_mod.Const(1)
+                den = air_mod.Const(1)
+                for fn_, fd in zip(num_factors, den_factors):
+                    num = num * fn_
+                    den = den * fd
+                cm3_n = _set_cols(cm3_n, ci.z_col.index, z_of(num, den))
+            else:
+                groups = ci.factor_groups()
+                finals = []
+                for ims, factors in ((ci.num_ims, num_factors),
+                                     (ci.den_ims, den_factors)):
+                    vals = [env.eval_ext(f_) for f_ in factors]
+                    prev = None
+                    for gi, grp in enumerate(groups):
+                        prod = prev
+                        for fi in grp:
+                            prod = vals[fi] if prod is None                                 else gl3.mul(prod, vals[fi])
+                        cm3_n = _set_cols(cm3_n, ims[gi].index, prod)
+                        prev = prod
+                    finals.append(prev)
+                ratios_num = tuple(jax.device_put(c, tri_shard[0])
+                                   for c in finals[0])
+                ratios_den = tuple(jax.device_put(c, tri_shard[0])
+                                   for c in finals[1])
+                cm3_n = _set_cols(cm3_n, ci.z_col.index,
+                                  gp(ratios_num, ratios_den))
+        cm3_ext = par.lde_sharded(shard(cm3_n), air.n_bits_ext, mesh)             if air.cm3_width else gl.zeros((n_ext, 0))
+        tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
+        root3 = scheme.root(tree3)
+        transcript.put(root3)
+        sections_ext["cm3"] = cm3_ext
+
+        # ---- rounds 4+5: jitted pipelines under the mesh ---------------
+        challenges[CH_VC] = _challenge_triple(transcript)
+        jits = get_air_jits(air)
+        publics_arr = gl.from_u64_np(np.array(publics + [0],
+                                              dtype=np.uint64))
+        cm4_ext = jits["quotient"](sections_ext["const"], cm1_ext,
+                                   sections_ext["cm2"], cm3_ext,
+                                   _challenges_array(challenges),
+                                   publics_arr, x_ext, l1_ext, zi_ext)
+        tree4 = scheme.merkelize(cm4_ext, air.cm4_width)
+        root4 = scheme.root(tree4)
+        transcript.put(root4)
+        sections_ext["cm4"] = cm4_ext
+
+        challenges[CH_XI] = _challenge_triple(transcript)
+        evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
+                                    publics_arr, x_ext, l1_ext)
+        evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
+        for ev in evals:
+            transcript.put(ev)
+        challenges[CH_V1] = _challenge_triple(transcript)
+        challenges[CH_V2] = _challenge_triple(transcript)
+        _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
+                                  publics_arr, x_ext, l1_ext)
+
+        # ---- FRI -------------------------------------------------------
+        trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
+        sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
+                        gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
+                        setup.const_ext_np]
+        fri_steps_data, final_pol, _ys = fri_mod.prove(
+            transcript, fri_pol, air, trees_main, sources_main)
 
     return StarkProof(roots=[root1, root2, root3, root4],
                       evals=evals,
