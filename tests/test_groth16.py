@@ -76,3 +76,18 @@ def test_groth16_multi_constraint():
     pk, vk = groth16.setup(r1cs, rng=rng)
     proof = groth16.prove(pk, r1cs, wit, rng=rng)
     assert groth16.verify(vk, proof, [prod])
+
+
+def test_zkey_roundtrip(tmp_path, proven):
+    """zkey container round-trip: persisted keys prove + verify."""
+    from xlayer_prover_tpu.snark import zkey as zk_mod
+    rng = random.Random(11)
+    r1cs, pk, vk, proof, wit = proven
+    zk = zk_mod.from_setup(pk, vk, r1cs)
+    path = str(tmp_path / "test.zkey")
+    zk_mod.write_zkey(zk, path)
+    zk2 = zk_mod.read_zkey(path)
+    pk2, vk2 = zk_mod.to_keys(zk2)
+    proof2 = groth16.prove(pk2, r1cs, wit, rng=rng)
+    assert groth16.verify(vk2, proof2, [wit[1]])
+    assert groth16.verify(vk2, proof, [wit[1]])
