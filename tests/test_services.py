@@ -120,3 +120,21 @@ def test_get_unknown_proof(stack):
     reply = server.ask("gp-x", get_proof_request=
                        pb.GetProofRequest(id="nonexistent", timeout=1))
     assert reply.get_proof_response.result == pb.GetProofResponse.RESULT_ERROR
+
+
+def test_config_loads_reference_style_json(tmp_path):
+    import json as _json
+    from xlayer_prover_tpu.utils.config import Config
+    cfg = {"runExecutorServer": True, "dbMultiwrite": False,
+           "maxSteps": 4096, "finalZkeyFile": "final.zkey",
+           "hashDB64": True, "kvDBMaxVersions": 9,
+           "aggregatorClientHost": "agg.example", "unknownKey": 1}
+    p = tmp_path / "config.json"
+    p.write_text(_json.dumps(cfg))
+    c = Config.load(str(p))
+    assert c.run_executor_server and not c.db_multiwrite
+    assert c.max_steps == 4096 and c.final_zkey_file == "final.zkey"
+    assert c.hashdb64 and c.kvdb_max_versions == 9
+    assert c.aggregator_client_host == "agg.example"
+    assert c.extra["unknownKey"] == 1
+    c.check()

@@ -17,7 +17,7 @@ def test_sharded_proof_matches_unsharded():
     const_np, cm1_np, publics = fib.gen_trace(air)
     setup = prover.Setup.build(air, const_np)
     base = prover.gen_proof(setup, cm1_np, publics)
-    mesh = pipeline.make_mesh(min(8, len(jax.devices())))
+    mesh = pipeline.make_mesh(len(jax.devices()))  # subset meshes deadlock on this jax
     sharded = prover.gen_proof(setup, cm1_np, publics, mesh=mesh)
     assert verifier.verify(air, setup.verkey, sharded)
     assert sharded.to_json() == base.to_json()
