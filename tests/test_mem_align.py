@@ -46,3 +46,33 @@ def test_expand_rows():
     assert len(rows) == 32
     assert all(src == out for (_, src, out) in rows)
     assert rows[0][0] == 4 and rows[-1][0] == 35
+
+
+def test_interpreter_mem_align_ops():
+    """memAlignRD/WR through the Main SM interpreter (main_executor.cpp
+    4484-4640 semantics)."""
+    from xlayer_prover_tpu.executor.main_sm import Context, MainExecutor
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.state.hashdb import HashDB
+    m0 = int.from_bytes(bytes(range(32)), "big")
+    m1 = int.from_bytes(bytes(range(32, 64)), "big")
+    off = 5
+    v_expected = ((m0 << (off * 8)) | (m1 >> (256 - off * 8))) & ((1 << 256) - 1)
+    prog = [
+        {"CONSTL": m0, "setA": 1},
+        {"CONSTL": m1, "setB": 1},
+        {"CONSTL": off, "setC": 1},
+        {"freeInTag": {}, "inFREE": 1, "memAlignRD": 1, "setD": 1},
+        {"JMP": 1, "useJmpAddr": 1, "jmpAddr": 5},
+        {},
+    ]
+    rom = Rom.from_json({"program": prog,
+                         "labels": {"start": 0, "finalizeExecution": 5},
+                         "constants": {}})
+    ex = MainExecutor(rom, max_steps=64)
+    ctx = Context(rom, HashDB())
+    ex.execute(ctx)
+    from xlayer_prover_tpu.executor.main_sm import fea_to_scalar
+    assert fea_to_scalar(ctx.regs.D) == v_expected
+    assert ctx.counters.mem_align == 1
+    assert ctx.required.mem_align[0][0] == "RD"

@@ -575,6 +575,9 @@ class MainExecutor:
             self._do_arith(ctx, line, op)
         if line.flag("sRD") or line.flag("sWR"):
             self._do_storage(ctx, line, op)
+        if line.flag("memAlignRD") or line.flag("memAlignWR") \
+                or line.flag("memAlignWR8"):
+            self._do_mem_align(ctx, line, op)
         for prefix, table in (("hashK", ctx.hash_k), ("hashP", ctx.hash_p),
                               ("hashS", ctx.hash_s)):
             if any(line.flag(prefix + s) for s in ("", "1", "Len", "Digest")):
@@ -647,6 +650,16 @@ class MainExecutor:
         results, storage reads, hash digests."""
         if line.flag("mOp") and not line.flag("mWR"):
             return list(ctx.mem.get(self._addr(ctx, line), ZERO8))
+        if line.flag("memAlignRD"):
+            M256 = (1 << 256) - 1
+            m0 = fea_to_scalar(ctx.regs.A)
+            m1 = fea_to_scalar(ctx.regs.B)
+            offset = fea_to_scalar(ctx.regs.C)
+            if offset > 32:
+                raise ZkError(ZkResult.PROVER_ERROR, "memAlign offset")
+            left_v = (m0 << (offset * 8)) & M256
+            right_v = (m1 >> (256 - offset * 8)) if offset else 0
+            return scalar_to_fea(left_v | right_v)
         if line.flag("bin"):
             res, _carry = self._binary_result(line.bin_opcode,
                                               fea_to_scalar(ctx.regs.A),
@@ -784,6 +797,51 @@ class MainExecutor:
             raise ZkError(ZkResult.PROVER_ERROR,
                           f"BN254 Fp2 arith fails zkPC={line.zkpc}")
         ctx.required.arith.append((3, a, b, c, d, res))
+
+    def _do_mem_align(self, ctx: Context, line: RomLine, op):
+        """memAlign ops (main_executor.cpp:4484-4640): unaligned 256-bit
+        value v = op across the aligned pair (m0 = A, m1 = B) at byte
+        offset C; WR checks the new words against D (and E)."""
+        regs = ctx.regs
+        M256 = (1 << 256) - 1
+        m0 = fea_to_scalar(regs.A)
+        m1 = fea_to_scalar(regs.B)
+        v = fea_to_scalar(op)
+        offset = fea_to_scalar(regs.C)
+        if offset > 32:
+            raise ZkError(ZkResult.PROVER_ERROR,
+                          f"memAlign offset out of range: {offset}")
+        _bump(ctx, "mem_align")
+        if line.flag("memAlignWR"):
+            w0 = fea_to_scalar(regs.D)
+            w1 = fea_to_scalar(regs.E)
+            exp_w0 = (m0 & (((1 << 256)) - (1 << (256 - offset * 8)))
+                      if offset else 0) | (v >> (offset * 8))
+            exp_w1 = (m1 & (M256 >> (offset * 8))) \
+                | ((v << (256 - offset * 8)) & M256) if offset else m1
+            if offset == 0:
+                exp_w0, exp_w1 = v, m1
+            if w0 != exp_w0 or w1 != exp_w1:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"memAlignWR mismatch at zkPC={line.zkpc}")
+            ctx.required.mem_align.append(("WR", m0, m1, offset, v))
+        elif line.flag("memAlignWR8"):
+            w0 = fea_to_scalar(regs.D)
+            byte_mask = M256 ^ (0xFF << 248)         # top byte cleared
+            exp_w0 = (m0 & ((byte_mask >> (offset * 8))
+                            | (M256 ^ (M256 >> (offset * 8))))) \
+                | ((v & 0xFF) << ((31 - offset) * 8))
+            if w0 != exp_w0:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"memAlignWR8 mismatch at zkPC={line.zkpc}")
+            ctx.required.mem_align.append(("WR8", m0, m1, offset, v))
+        else:
+            left_v = (m0 << (offset * 8)) & M256
+            right_v = (m1 >> (256 - offset * 8)) if offset else 0
+            if v != (left_v | right_v):
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"memAlignRD mismatch at zkPC={line.zkpc}")
+            ctx.required.mem_align.append(("RD", m0, m1, offset, v))
 
     @staticmethod
     def _storage_key(regs, required=None):

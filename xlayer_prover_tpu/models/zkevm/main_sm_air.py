@@ -102,7 +102,8 @@ def encode_line(line: RomLine) -> dict:
     enc["incArith"] = 1 if any_arith else 0
     enc["incKeccak"] = enc["hashK"] + enc["hashK1"]
     enc["incSha256"] = enc["hashS"] + enc["hashS1"]
-    enc["incMemAlign"] = 0      # interpreter does not count memAlign yet
+    enc["incMemAlign"] = (enc["memAlignRD"] + enc["memAlignWR"]
+                          + enc["memAlignWR8"])
     enc["incPaddingPG"] = enc["hashP"] + enc["hashP1"]
     enc["incPoseidonG"] = enc["sRD"] + enc["sWR"]
     return enc
