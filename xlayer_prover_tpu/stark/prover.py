@@ -558,15 +558,24 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         return jax.device_put(sec, row)
 
     with mesh:
+        t_stage = timer("stark.mesh_r1", log=True)
+        t_stage.__enter__()
         # ---- round 1 --------------------------------------------------
-        cm1_n = shard(gl.from_u64_np(cm1_np.astype(np.uint64)))
-        cm1_ext = par.lde_sharded(cm1_n, air.n_bits_ext, mesh)
+        # eager expression work below runs on UNSHARDED arrays (each eager
+        # op over a sharded array compiles its own SPMD executable); only
+        # the jitted stages (LDE, Merkle, scan, quotient, round5) see
+        # sharded inputs
+        cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
+        cm1_ext = par.lde_sharded(shard(cm1_n), air.n_bits_ext, mesh)
         tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
         root1 = scheme.root(tree1)
         transcript.put(root1)
-        sections_n = {"const": shard(setup.const_n), "cm1": cm1_n}
+        sections_n = {"const": setup.const_n, "cm1": cm1_n}
         sections_ext = {"const": shard(setup.const_ext), "cm1": cm1_ext}
 
+        t_stage.__exit__(None, None, None)
+        t_stage = timer("stark.mesh_r2", log=True)
+        t_stage.__enter__()
         # ---- round 2 --------------------------------------------------
         challenges[CH_U] = _challenge_triple(transcript)
         challenges[CH_DEFVAL] = _challenge_triple(transcript)
@@ -579,14 +588,18 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
             d = f_np.shape[1]
             cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
             cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
-        cm2_n = shard(gl.from_u64_np(cm2_np))
-        cm2_ext = par.lde_sharded(cm2_n, air.n_bits_ext, mesh)             if air.cm2_width else gl.zeros((n_ext, 0))
+        cm2_n = gl.from_u64_np(cm2_np)
+        cm2_ext = par.lde_sharded(shard(cm2_n), air.n_bits_ext, mesh) \
+            if air.cm2_width else gl.zeros((n_ext, 0))
         tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
         root2 = scheme.root(tree2)
         transcript.put(root2)
         sections_n["cm2"] = cm2_n
         sections_ext["cm2"] = cm2_ext
 
+        t_stage.__exit__(None, None, None)
+        t_stage = timer("stark.mesh_r3", log=True)
+        t_stage.__enter__()
         # ---- round 3: distributed grand-product scans ------------------
         challenges[CH_GAMMA] = _challenge_triple(transcript)
         challenges[CH_BETA] = _challenge_triple(transcript)
@@ -595,18 +608,24 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         beta = air_mod.Challenge(CH_BETA)
         one_plus_beta = beta + 1
         gb = gamma * one_plus_beta
-        gp = par.build_grand_product_sharded(mesh)
+        gp = jax.jit(par.build_grand_product_sharded(mesh))
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as PS
         tri_shard = tuple(NamedSharding(mesh, PS(par.AXIS))
                           for _ in range(3))
 
+        def bshard(c):
+            arr = np.asarray(c, dtype=np.uint64)
+            if arr.ndim == 0:
+                arr = np.broadcast_to(arr, (n,)).copy()
+            return jax.device_put(arr, tri_shard[0])
+
         def z_of(num_e, den_e):
-            num_v = tuple(jax.device_put(c, tri_shard[0])
-                          for c in env.eval_ext(num_e))
-            den_v = tuple(jax.device_put(c, tri_shard[0])
-                          for c in env.eval_ext(den_e))
-            return gp(num_v, den_v)
+            num_v = tuple(bshard(c) for c in env.eval_ext(num_e))
+            den_v = tuple(bshard(c) for c in env.eval_ext(den_e))
+            z = gp(num_v, den_v)
+            return tuple(gl.from_u64_np(np.asarray(c, dtype=np.uint64))
+                         for c in z)
 
         cm3_n = gl.zeros((n, air.cm3_width))
         im_fills = []
@@ -646,18 +665,22 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
                         cm3_n = _set_cols(cm3_n, ims[gi].index, prod)
                         prev = prod
                     finals.append(prev)
-                ratios_num = tuple(jax.device_put(c, tri_shard[0])
-                                   for c in finals[0])
-                ratios_den = tuple(jax.device_put(c, tri_shard[0])
-                                   for c in finals[1])
+                ratios_num = tuple(bshard(c) for c in finals[0])
+                ratios_den = tuple(bshard(c) for c in finals[1])
+                z = gp(ratios_num, ratios_den)
                 cm3_n = _set_cols(cm3_n, ci.z_col.index,
-                                  gp(ratios_num, ratios_den))
+                                  tuple(gl.from_u64_np(
+                                      np.asarray(c, dtype=np.uint64))
+                                      for c in z))
         cm3_ext = par.lde_sharded(shard(cm3_n), air.n_bits_ext, mesh)             if air.cm3_width else gl.zeros((n_ext, 0))
         tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
         root3 = scheme.root(tree3)
         transcript.put(root3)
         sections_ext["cm3"] = cm3_ext
 
+        t_stage.__exit__(None, None, None)
+        t_stage = timer("stark.mesh_r45", log=True)
+        t_stage.__enter__()
         # ---- rounds 4+5: jitted pipelines under the mesh ---------------
         challenges[CH_VC] = _challenge_triple(transcript)
         jits = get_air_jits(air)
@@ -683,13 +706,21 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
                                   publics_arr, x_ext, l1_ext)
 
+        t_stage.__exit__(None, None, None)
+        t_stage = timer("stark.mesh_fri", log=True)
+        t_stage.__enter__()
         # ---- FRI -------------------------------------------------------
+        # fold math runs eagerly: pull the DEEP polynomial off the mesh so
+        # each fold op does not recompile as an SPMD executable
+        fri_pol = tuple(gl.from_u64_np(np.asarray(c, dtype=np.uint64))
+                        for c in fri_pol)
         trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
         sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
                         gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
                         setup.const_ext_np]
         fri_steps_data, final_pol, _ys = fri_mod.prove(
             transcript, fri_pol, air, trees_main, sources_main)
+        t_stage.__exit__(None, None, None)
 
     return StarkProof(roots=[root1, root2, root3, root4],
                       evals=evals,
