@@ -1,4 +1,4 @@
-"""Bit-exactness parity test for Poseidon-GL vs the reference testvectors.
+"""Bit-exactness parity tests for Poseidon-GL vs the reference testvectors.
 
 The e2e input JSONs carry the genesis SMT as a ``db`` map of
 node-hash -> node-preimage (reference src/prover/input.cpp:738-778, nodes
@@ -8,21 +8,12 @@ known-answer vector (12-element preimage including the 4-element capacity;
 fea2string of the 4-element hash (scalar = h3<<192|h2<<128|h1<<64|h0,
 scalar.hpp:63-72).
 
-Blocking artifact (documented per round-1 VERDICT item 5): the official
-constants live in the goldilocks submodule (poseidon_goldilocks_constants.hpp)
-which is NOT checked out in the reference snapshot (.gitmodules:1-3).  The
-only in-tree constant table — src/sm/poseidon_g/poseidon_g_executor.cpp:11-105
-(360 round constants + the plonky2-style circulant MDS built at
-poseidon_g_executor.hpp:37-50) — provably does NOT reproduce the testvector
-hashes under its own schedule (poseidon_g_executor.cpp:201-232): an
-exhaustive structural search (S-box/ARK/MDS orderings, pre-ARK, transposed /
-power-of-two MDS, compact partial-round constants, Montgomery encodings) finds
-no match, so that SM table is stale relative to the production submodule.
-
-These tests therefore activate on drop-in: place the official table at
-xlayer_prover_tpu/ops/data/poseidon_goldilocks_official.json
-({"C": [360 ints], "M": [[12x12 ints]]}) and the parity assertions run.
-Until then they xfail loudly rather than pass vacuously.
+The official parameter set (goldilocks submodule, not in the snapshot) was
+recovered from in-tree artifacts: the round constants in
+src/sm/poseidon_g/poseidon_g_executor.cpp:11-105 with the plonky2-style
+circulant MDS where the +8 diagonal boost applies at M[0][0] ONLY.  These
+tests pin that discovery: both the device (JAX) and native (C) permutations
+must reproduce every node hash of every e2e vector.
 """
 
 import glob
@@ -56,17 +47,14 @@ def _db_kats(path):
     return kats
 
 
-official = pc.get_params()[2] == "official"
+def test_official_constants_present():
+    assert pc.get_params()[2] == "official"
 
 
 @pytest.mark.skipif(not E2E, reason="reference testvectors not present")
-@pytest.mark.xfail(not official, strict=True,
-                   reason="official Poseidon-GL constants unavailable offline "
-                          "(goldilocks submodule not in snapshot; in-tree SM "
-                          "table is stale — see module docstring)")
 def test_smt_node_hash_parity():
     kats = [kat for p in E2E for kat in _db_kats(p)]
-    assert kats
+    assert len(kats) >= 80
     inp = gl.from_u64_np(np.array([w for w, _ in kats], dtype=np.uint64))
     out = gl.to_u64_np(poseidon_gl.permute(inp))[:, :4]
     expect = np.array([h for _, h in kats], dtype=np.uint64)
@@ -74,19 +62,24 @@ def test_smt_node_hash_parity():
 
 
 @pytest.mark.skipif(not E2E, reason="reference testvectors not present")
-def test_in_tree_sm_constant_table_is_stale():
-    """Documents the blocking finding: the reference's only in-tree
-    Poseidon-GL table (poseidon_g_executor.cpp) fails its own testvectors
-    under its own round schedule.  If this ever starts passing, promote that
-    table to the official drop-in."""
-    import re
-    src = open("/root/reference/src/sm/poseidon_g/poseidon_g_executor.cpp").read()
-    body = src.split("Goldilocks::Element C[] = {")[1].split("};")[0]
-    C = [int(x, 16) for x in re.findall(r"0x[0-9a-fA-F]+", body)][:360]
+def test_native_node_hash_parity():
+    from xlayer_prover_tpu.native import poseidon_permute
+    kats = [kat for p in E2E for kat in _db_kats(p)]
+    for words, h in kats:
+        assert tuple(poseidon_permute(list(words))[:4]) == tuple(h)
+
+
+@pytest.mark.skipif(not E2E, reason="reference testvectors not present")
+def test_mds_diag_subtlety():
+    """Document the recovery: the SAME round constants with +8 applied to
+    the whole MDS diagonal (instead of only M[0][0]) do NOT match — this is
+    the variant the round-1 search wrongly concluded was 'stale'."""
+    C, _, origin = pc.get_params()
+    assert origin == "official"
     P = gl.P
     MCIRC = [17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20]
-    M = [[MCIRC[(-i + j + 12) % 12] + (8 if i == j else 0)
-          for j in range(12)] for i in range(12)]
+    M_wrong = [[MCIRC[(-i + j + 12) % 12] + (8 if i == j else 0)
+                for j in range(12)] for i in range(12)]
     words, h = _db_kats(E2E[0])[0]
     st = list(words)
     for r in range(30):
@@ -95,5 +88,6 @@ def test_in_tree_sm_constant_table_is_stale():
             st = [pow(x, 7, P) for x in st]
         else:
             st[0] = pow(st[0], 7, P)
-        st = [sum(M[x][y] * st[y] for y in range(12)) % P for x in range(12)]
-    assert st[:4] != h, "in-tree table now matches: adopt it as official!"
+        st = [sum(M_wrong[x][y] * st[y] for y in range(12)) % P
+              for x in range(12)]
+    assert st[:4] != h

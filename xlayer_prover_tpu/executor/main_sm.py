@@ -29,6 +29,7 @@ from ..native import keccak256
 from ..state.hashdb import HashDB
 from ..utils.zkresult import ZkError, ZkResult
 from .rom import Rom, RomLine
+from .storage_executor import SmtAction
 
 P = gl.P
 MASK256 = (1 << 256) - 1
@@ -149,6 +150,39 @@ class HashState:
     def __init__(self):
         self.data = bytearray()
         self.len = None
+        self.digest = None
+        self.first_byte_written = False
+        self.digest_called = False
+
+    def write(self, pos: int, data: bytes, zkpc: int,
+              first_byte_games: bool = False):
+        """Position-addressed write with the reference's hashK/hashP byte
+        semantics (main_executor.cpp:2978-3043): append at pos==size,
+        verify-match below size, error beyond size.  hashP additionally
+        (`first_byte_games`) seeds a zero placeholder at position 0 when
+        the first write starts at position 1, and allows one single-byte
+        overwrite of position 0 — the ROM writes the l2TxHash tx-type byte
+        at position 0 last (addL2HashTx_txType rom lines 203-213)."""
+        for j, b in enumerate(data):
+            p = pos + j
+            if first_byte_games and p == 1 and not self.data \
+                    and not self.first_byte_written:
+                self.data.append(0)
+            if first_byte_games and p == 0 and len(data) == 1 and self.data \
+                    and not self.first_byte_written:
+                self.data[0] = b
+                self.first_byte_written = True
+            elif p == len(self.data):
+                self.data.append(b)
+            elif p < len(self.data):
+                if self.data[p] != b:
+                    raise ZkError(ZkResult.PROVER_ERROR,
+                                  f"hash byte mismatch at pos {p}, "
+                                  f"zkPC={zkpc}")
+            else:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"hash write beyond size at pos {p}, "
+                              f"zkPC={zkpc}")
         self.digest = None
 
 
@@ -670,6 +704,16 @@ class MainExecutor:
                                  self._root_quad(ctx.regs.SR),
                                  self._storage_key(ctx.regs))
             return scalar_to_fea(res.value)
+        if line.flag("sWR"):
+            # free input of an SSTORE is the NEW root (reference
+            # main_executor.cpp sWR free-input case: pHashDB->set there,
+            # result reused by the later op block)
+            old_root = self._root_quad(ctx.regs.SR)
+            key = self._storage_key(ctx.regs)
+            value = fea_to_scalar(ctx.regs.D)
+            res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
+            ctx._sstore_cache = (old_root, key, value, res)
+            return self._quad_to_sr8(res.new_root)
         for prefix, table in (("hashK", ctx.hash_k), ("hashP", ctx.hash_p),
                               ("hashS", ctx.hash_s)):
             if line.flag(prefix + "Digest"):
@@ -879,16 +923,26 @@ class MainExecutor:
         old_root = self._root_quad(regs.SR)
         if line.flag("sWR"):
             value = fea_to_scalar(regs.D)
-            res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
+            cached = getattr(ctx, "_sstore_cache", None)
+            if cached is not None and cached[0] == old_root \
+                    and cached[1] == key and cached[2] == value:
+                res = cached[3]
+                ctx._sstore_cache = None
+            else:
+                res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
             regs.SR = self._quad_to_sr8(res.new_root)
-            ctx.required.storage.append(("SET", key, value, res.new_root))
-            _bump(ctx, "poseidon_g")
+            ctx.required.storage.append(SmtAction(is_set=True,
+                                                  set_result=res))
+            # reference: incCounter = proofHashCounter + 2
+            # (main_executor.cpp:2557, applied to cntPoseidonG at :5322)
+            _bump(ctx, "poseidon_g", res.proof_hash_counter + 2)
         else:
             res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
             if fea_to_scalar(op) != res.value:
                 raise ZkError(ZkResult.PROVER_ERROR, "sRD value mismatch")
-            ctx.required.storage.append(("GET", key, res.value))
-            _bump(ctx, "poseidon_g")
+            ctx.required.storage.append(SmtAction(is_set=False,
+                                                  get_result=res))
+            _bump(ctx, "poseidon_g", res.proof_hash_counter + 2)
 
     def _do_hash(self, ctx: Context, line: RomLine, prefix: str, table,
                  op, addr: int):
@@ -900,18 +954,30 @@ class MainExecutor:
             if not (1 <= nbytes <= 32):
                 raise ZkError(ZkResult.PROVER_ERROR, "hash size out of range")
             data = fea_to_scalar(op).to_bytes(32, "big")[-nbytes:]
-            st.data += data
+            st.write(regs.HASHPOS, data, line.zkpc,
+                     first_byte_games=(prefix == "hashP"))
             regs.HASHPOS = (regs.HASHPOS + nbytes) % P
             ctx._hash_bytes = nbytes
-            if prefix == "hashK":
-                _bump(ctx, "keccak_f")
-            elif prefix == "hashS":
-                _bump(ctx, "sha256_f")
-            else:
-                _bump(ctx, "padding_pg")
         elif line.flag(prefix + "Len"):
             st.len = op[0]
         elif line.flag(prefix + "Digest"):
             if fea_to_scalar(op) != self._hash_digest(st, prefix):
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"{prefix}Digest mismatch at zkPC={line.zkpc}")
+            if st.digest_called:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"{prefix}Digest called twice at "
+                              f"zkPC={line.zkpc}")
+            st.digest_called = True
+            # counters bump at the Digest row by padded-block count
+            # (main_executor.cpp:2906 keccak ceil((n+1)/136),
+            #  :3219 poseidon ceil((n+1)/56), :3478 sha ceil((n+1+8)/64))
+            n = len(st.data)
+            if prefix == "hashK":
+                _bump(ctx, "keccak_f", -(-(n + 1) // 136))
+            elif prefix == "hashS":
+                _bump(ctx, "sha256_f", -(-(n + 1 + 8) // 64))
+            else:
+                inc = -(-(n + 1) // 56)
+                _bump(ctx, "padding_pg", inc)
+                _bump(ctx, "poseidon_g", inc)

@@ -188,8 +188,8 @@ def collect_from_context(ctx) -> List[list]:
     reqs = []
     for action in ctx.required.storage:
         # every storage op re-hashes the leaf value (8 limbs + capacity 0)
-        if action[0] == "SET":
-            value = action[2]
+        if action.is_set:
+            value = action.set_result.new_value
             limbs = [(value >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
             reqs.append(limbs + [0, 0, 0, 0])
     return reqs

@@ -1,24 +1,21 @@
-"""Poseidon-Goldilocks parameter generation and loading.
+"""Poseidon-Goldilocks parameter loading (official) and generation (fallback).
 
 The reference consumes ``PoseidonGoldilocks`` from the goldilocks submodule
-(not checked out in the snapshot: /root/reference/.gitmodules:1-3), so the
-official Hermez round constants are NOT available in this environment.
-The only in-tree table (src/sm/poseidon_g/poseidon_g_executor.cpp:11-105)
-was checked against the e2e testvector node hashes (a direct known-answer
-oracle, see tests/test_poseidon_parity.py) and provably does NOT match under
-its own schedule or any nearby structural variant — it is stale relative to
-the production submodule.  This module therefore:
+(not checked out in the snapshot: /root/reference/.gitmodules:1-3).  The
+official parameter set was nevertheless recovered in-tree: the round
+constants at src/sm/poseidon_g/poseidon_g_executor.cpp:11-105 ARE the
+production table, combined with the plonky2-style circulant MDS
+[17,15,41,16,2,28,13,13,39,18,34,20] where the +8 diagonal boost applies to
+M[0][0] ONLY (not the whole diagonal — the subtlety that defeated the
+round-1 structural search).  This reconstruction reproduces every node-hash
+known-answer pair in the e2e testvector ``db`` maps (82/82, see
+tests/test_poseidon_parity.py), so it is bit-exact with the reference
+prover.  It ships as ``data/poseidon_goldilocks_official.json``
+({"C": [360], "M": [[12x12]]}, M stored in this module's row-vector
+convention out_j = sum_i s_i*M[i][j]).
 
-  * generates a parameter set deterministically via the Grain-LFSR procedure
-    from the Poseidon reference specification (same t=12, R_F=8, R_P=22
-    shape as the reference prover), and
-  * loads a drop-in official constants file
-    (``poseidon_goldilocks_official.json`` with keys C[360], M[12][12]) when
-    present, for bit-exact parity with the reference once its artifacts are
-    supplied.
-
-MDS matrix: Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i, y_j = t + j,
-which is MDS over F_p since all x_i + y_j are distinct and nonzero.
+A deterministic Grain-LFSR parameter set (same t=12, R_F=8, R_P=22 shape)
+remains as a fallback when the file is absent.
 """
 
 from __future__ import annotations

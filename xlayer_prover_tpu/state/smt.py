@@ -9,9 +9,17 @@ Semantics mirror the reference exactly:
     (left||right) with capacity 0 (smt.hpp:42-80).
   * the node store maps hash -> the 12 hashed elements, so node type is
     recoverable from the capacity part.
-  * set() handles update, insert (chain of branches down to the first
-    divergent bit), and delete with single-leaf collapse; zero root is the
-    empty tree.
+  * set() follows the reference's imperative structure (smt.cpp:44-810):
+    walk down recording ``siblings[level]``, mutate the recorded path nodes
+    in place per mode, erase entries beyond the final level, then rehash
+    upward — so ``SmtSetResult.siblings`` is byte-identical to the
+    reference's (the Storage SM micro-ROM replay consumes it directly).
+  * modes: update, insertFound/insertNotFound, deleteFound/deleteNotFound,
+    zeroToZero.  Deleting the root leaf yields "deleteNotFound" with a zero
+    new root, exactly like the reference (smt.cpp:719-729) — the ROM's
+    "deleteLast" branch is legacy and never taken.
+  * proof_hash_counter matches the reference bookkeeping (consumed by the
+    Main SM's cntPoseidonG: incCounter = proofHashCounter + 2).
 
 Host-side by design: state access is pointer-chasing + DB I/O (SURVEY §5);
 the heavy Poseidon work for *proving* storage ops happens in the Storage SM
@@ -80,18 +88,35 @@ def hash_node(data8, capacity4) -> Tuple[int, int, int, int]:
     return tuple(_permute(list(data8) + list(capacity4))[:4])
 
 
+def _unique_sibling(node12) -> int:
+    """Index of the only non-zero child quad, or -1 (smt.cpp:1132-1149)."""
+    n_found = 0
+    fnd = -1
+    for i in range(0, len(node12), 4):
+        if any(int(v) != 0 for v in node12[i:i + 4]):
+            n_found += 1
+            fnd = i // 4
+    return fnd if n_found == 1 else -1
+
+
 @dataclasses.dataclass
 class SmtSetResult:
     old_root: tuple
     new_root: tuple
     key: tuple
-    siblings: dict          # level -> the 12 sibling-node elements
+    siblings: dict          # level -> the 12 node elements, post-mutation
     ins_key: Optional[tuple]
     ins_value: int
     is_old0: bool
     old_value: int
     new_value: int
     mode: str
+    proof_hash_counter: int = 0
+    # children of the sibling branch examined in deleteNotFound (reference
+    # smt.cpp:695-715 siblingLeftChild/siblingRightChild); consumed by the
+    # Storage SM replay (GetSiblingLeftChildHash/GetSiblingRightChildHash)
+    sibling_left_child: tuple = ZERO4
+    sibling_right_child: tuple = ZERO4
 
 
 @dataclasses.dataclass
@@ -104,6 +129,7 @@ class SmtGetResult:
     ins_key: Optional[tuple]
     ins_value: int
     is_old0: bool
+    proof_hash_counter: int = 0
 
 
 class Smt:
@@ -131,6 +157,9 @@ class Smt:
         value_hash = self._save(value_to_fea8(value), ZERO4)
         return self._save(list(rkey) + list(value_hash), (1, 0, 0, 0))
 
+    def _save_leaf_vh(self, rkey, value_hash):
+        return self._save(list(rkey) + list(value_hash), (1, 0, 0, 0))
+
     def _save_branch(self, left4, right4):
         return self._save(list(left4) + list(right4), ZERO4)
 
@@ -142,188 +171,216 @@ class Smt:
         siblings = {}
         r = root
         level = 0
-        # walk down while intermediate
+        # walk down while intermediate; the leaf node itself is NOT kept in
+        # siblings (the reference erases it, smt.cpp:1029-1032)
         while r != ZERO4:
             node = self._read(r)
-            siblings[level] = node
             if self._is_leaf(node):
                 leaf_rkey = tuple(node[0:4])
                 value_hash = tuple(node[4:8])
                 value = fea8_to_value(self._read(value_hash)[0:8])
                 rem_key = remove_key_bits(key, level)
+                phc = len(siblings)
                 if leaf_rkey == rem_key:
                     return SmtGetResult(root=root, key=key, value=value,
                                         found=True, siblings=siblings,
                                         ins_key=None, ins_value=0,
-                                        is_old0=False)
+                                        is_old0=False,
+                                        proof_hash_counter=phc
+                                        + (2 if value != 0 else 0))
                 ins_key = join_key(bits[:level], leaf_rkey)
                 return SmtGetResult(root=root, key=key, value=0, found=False,
                                     siblings=siblings, ins_key=ins_key,
-                                    ins_value=value, is_old0=False)
+                                    ins_value=value, is_old0=False,
+                                    proof_hash_counter=phc)
+            siblings[level] = node
             r = tuple(node[4:8]) if bits[level] else tuple(node[0:4])
             level += 1
         return SmtGetResult(root=root, key=key, value=0, found=False,
                             siblings=siblings, ins_key=None, ins_value=0,
-                            is_old0=True)
+                            is_old0=True,
+                            proof_hash_counter=len(siblings) if root != ZERO4
+                            else 0)
 
     def set(self, old_root, key, value: int) -> SmtSetResult:
         old_root = tuple(int(v) for v in old_root)
         key = tuple(int(v) for v in key)
         value = int(value)
-        bits = split_key(key)
+        keys = split_key(key)
 
-        # walk down recording the path
-        path = []  # (node_hash, node12, bit) for each branch traversed
+        # -- walk down recording siblings[level] (incl. the leaf) ---------
+        siblings: dict = {}
+        acc_key: List[int] = []
         r = old_root
         level = 0
-        leaf = None  # (level, rkey, value)
-        while r != ZERO4:
+        found = False
+        found_rkey = ZERO4
+        found_value_hash = ZERO4
+        found_value = 0
+        found_key = None
+        while r != ZERO4 and not found:
             node = self._read(r)
+            siblings[level] = list(node)
             if self._is_leaf(node):
-                leaf_rkey = tuple(node[0:4])
-                leaf_value = fea8_to_value(self._read(tuple(node[4:8]))[0:8])
-                leaf = (level, leaf_rkey, leaf_value)
-                break
-            path.append((r, node, bits[level]))
-            r = tuple(node[4:8]) if bits[level] else tuple(node[0:4])
-            level += 1
+                found = True
+                found_rkey = tuple(node[0:4])
+                found_value_hash = tuple(node[4:8])
+                found_value = fea8_to_value(self._read(found_value_hash)[0:8])
+                found_key = join_key(acc_key, found_rkey)
+            else:
+                side = keys[level]
+                r = tuple(node[side * 4: side * 4 + 4])
+                acc_key.append(side)
+                level += 1
+        # one step back (smt.cpp:172-174)
+        level -= 1
+        if acc_key:
+            acc_key.pop()
 
         mode = ""
         old_value = 0
         ins_key = None
         ins_value = 0
         is_old0 = True
+        new_root = old_root
+        sib_left = ZERO4
+        sib_right = ZERO4
+        phc = 0
+        if old_root != ZERO4:
+            phc = min(len(siblings), level + 1)
+            if found_value != 0:
+                phc += 2
 
-        if leaf is not None:
-            leaf_level, leaf_rkey, leaf_value = leaf
-            rem_key = remove_key_bits(key, leaf_level)
-            if leaf_rkey == rem_key:
-                old_value = leaf_value
+        def put_child(lvl, side, quad):
+            for j in range(4):
+                siblings[lvl][side * 4 + j] = int(quad[j])
+
+        if value != 0:
+            if found and found_key == key:
+                mode = "update"
+                old_value = found_value
                 is_old0 = False
-                if value != 0:
-                    mode = "update"
-                    new_node = self._save_leaf(rem_key, value)
+                new_leaf = self._save_leaf(found_rkey, value)
+                phc += 2
+                if level >= 0:
+                    put_child(level, keys[level], new_leaf)
                 else:
-                    mode = "deleteFound" if path else "deleteLast"
-                    new_node = None  # delete handled below
+                    new_root = new_leaf
+            elif found:
+                mode = "insertFound"
+                found_keys = split_key(found_key)
+                level2 = level + 1
+                while keys[level2] == found_keys[level2]:
+                    level2 += 1
+                old_leaf = self._save_leaf_vh(
+                    remove_key_bits(found_key, level2 + 1), found_value_hash)
+                ins_key = found_key
+                ins_value = found_value
+                is_old0 = False
+                new_leaf = self._save_leaf(remove_key_bits(key, level2 + 1),
+                                           value)
+                node8 = [0] * 8
+                for j in range(4):
+                    node8[keys[level2] * 4 + j] = new_leaf[j]
+                    node8[found_keys[level2] * 4 + j] = old_leaf[j]
+                r2 = self._save_branch(node8[0:4], node8[4:8])
+                phc += 4
+                level2 -= 1
+                # chain of single-child branches up to the common prefix
+                while level2 != level:
+                    node8 = [0] * 8
+                    for j in range(4):
+                        node8[keys[level2] * 4 + j] = r2[j]
+                    r2 = self._save_branch(node8[0:4], node8[4:8])
+                    phc += 1
+                    level2 -= 1
+                if level >= 0:
+                    put_child(level, keys[level], r2)
+                else:
+                    new_root = r2
             else:
-                ins_key = join_key(bits[:leaf_level], leaf_rkey)
-                ins_value = leaf_value
-                if value != 0:
-                    mode = "insertFound"
-                    # diverge: find first differing bit at >= leaf_level
-                    leaf_bits = split_key(ins_key)
-                    lvl = leaf_level
-                    while bits[lvl] == leaf_bits[lvl]:
-                        lvl += 1
-                    new_leaf = self._save_leaf(remove_key_bits(key, lvl + 1),
-                                               value)
-                    old_leaf = self._save_leaf(
-                        remove_key_bits(ins_key, lvl + 1), ins_value)
-                    if bits[lvl]:
-                        branch = self._save_branch(old_leaf, new_leaf)
-                    else:
-                        branch = self._save_branch(new_leaf, old_leaf)
-                    # chain of single-child branches from leaf_level to lvl
-                    for l in range(lvl - 1, leaf_level - 1, -1):
-                        if bits[l]:
-                            branch = self._save_branch(ZERO4, branch)
-                        else:
-                            branch = self._save_branch(branch, ZERO4)
-                    new_node = branch
-                else:
-                    mode = "zeroToZero"
-                    new_node = None
-        else:
-            if value != 0:
                 mode = "insertNotFound"
-                new_node = self._save_leaf(remove_key_bits(key, level), value)
+                new_leaf = self._save_leaf(remove_key_bits(key, level + 1),
+                                           value)
+                phc += 2
+                if level >= 0:
+                    put_child(level, keys[level], new_leaf)
+                else:
+                    new_root = new_leaf
+        else:
+            if found and found_key == key:
+                old_value = found_value
+                is_old0 = False
+                if level >= 0:
+                    put_child(level, keys[level], ZERO4)
+                    u_key = _unique_sibling(siblings[level])
+                    if u_key >= 0:
+                        sib_hash = tuple(
+                            siblings[level][u_key * 4: u_key * 4 + 4])
+                        sib_node = list(self._read(sib_hash))
+                        siblings[level + 1] = sib_node
+                        if self._is_leaf(sib_node):
+                            mode = "deleteFound"
+                            val_h = tuple(sib_node[4:8])
+                            val = fea8_to_value(self._read(val_h)[0:8])
+                            phc += 2
+                            ins_key = join_key(acc_key + [u_key],
+                                               tuple(sib_node[0:4]))
+                            ins_value = val
+                            # climb while the branch has a lone child
+                            while u_key >= 0 and level >= 0:
+                                level -= 1
+                                if level >= 0:
+                                    u_key = _unique_sibling(siblings[level])
+                            old_leaf = self._save_leaf_vh(
+                                remove_key_bits(ins_key, level + 1), val_h)
+                            phc += 1
+                            if level >= 0:
+                                put_child(level, keys[level], old_leaf)
+                            else:
+                                new_root = old_leaf
+                        else:
+                            mode = "deleteNotFound"
+                    else:
+                        mode = "deleteNotFound"
+                    if mode == "deleteNotFound":
+                        sibling_side = 0 if keys[level] else 1
+                        sib_hash = tuple(siblings[level][sibling_side * 4:
+                                                         sibling_side * 4 + 4])
+                        sn = self._read(sib_hash)
+                        sib_left = tuple(sn[0:4])
+                        sib_right = tuple(sn[4:8])
+                        phc += 1
+                else:
+                    # deleting the root leaf empties the tree; the
+                    # reference labels this deleteNotFound (smt.cpp:719-729)
+                    mode = "deleteNotFound"
+                    new_root = ZERO4
             else:
                 mode = "zeroToZero"
-                new_node = None
+                if found:
+                    ins_key = found_key
+                    ins_value = found_value
+                    is_old0 = False
 
-        # -- recompute the path upward -----------------------------------
-        if mode in ("deleteFound", "deleteLast"):
-            new_root = self._delete_and_collapse(path, bits, key)
-        elif mode == "zeroToZero":
-            new_root = old_root
-        else:
-            new_root = self._rehash_path(path, new_node)
+        # -- delete the extra siblings (smt.cpp:753-755) ------------------
+        for lvl in [l for l in siblings if l > level]:
+            del siblings[lvl]
 
-        siblings = {lvl: node for lvl, (_, node, _) in enumerate(path)}
-        return SmtSetResult(old_root=old_root, new_root=new_root, key=key,
-                            siblings=siblings, ins_key=ins_key,
+        # -- go up the tree re-creating intermediate nodes ----------------
+        while level >= 0:
+            new_root = self._save(siblings[level][0:8], siblings[level][8:12])
+            if mode != "zeroToZero":
+                phc += 1
+            level -= 1
+            if level >= 0:
+                put_child(level, keys[level], new_root)
+
+        siblings = {lvl: tuple(node) for lvl, node in siblings.items()}
+        return SmtSetResult(old_root=old_root, new_root=tuple(new_root),
+                            key=key, siblings=siblings, ins_key=ins_key,
                             ins_value=ins_value, is_old0=is_old0,
-                            old_value=old_value, new_value=value, mode=mode)
-
-    # -- helpers ---------------------------------------------------------
-    def _rehash_path(self, path, new_child):
-        cur = new_child if new_child is not None else ZERO4
-        for (_, node, bit) in reversed(path):
-            left = tuple(node[0:4])
-            right = tuple(node[4:8])
-            if bit:
-                right = cur
-            else:
-                left = cur
-            cur = self._save_branch(left, right)
-        return cur
-
-    def _delete_and_collapse(self, path, bits, key):
-        """Remove the leaf; collapse lone-leaf siblings upward."""
-        if not path:
-            return ZERO4  # deleteLast: tree becomes empty
-        # replace deleted child with zero, then walk up collapsing
-        cur = ZERO4
-        cur_is_leaf_chain = None  # (rkey_bits_consumed_level, rkey, value)
-        for lvl in range(len(path) - 1, -1, -1):
-            (_, node, bit) = path[lvl]
-            sib = tuple(node[0:4]) if bit else tuple(node[4:8])
-            if cur == ZERO4 and cur_is_leaf_chain is None:
-                # the deleted side is empty; examine the sibling
-                if sib == ZERO4:
-                    cur = ZERO4  # still empty, keep collapsing
-                    continue
-                sib_node = self._read(sib)
-                if self._is_leaf(sib_node):
-                    # sibling leaf moves up: its rkey grows by one bit
-                    sib_rkey = tuple(sib_node[0:4])
-                    sib_value = fea8_to_value(
-                        self._read(tuple(sib_node[4:8]))[0:8])
-                    full_key = join_key(
-                        split_key(key)[:lvl] + [0 if bit else 1], sib_rkey)
-                    cur_is_leaf_chain = (lvl, full_key, sib_value)
-                    continue
-                # sibling is a branch: keep structure with zero child
-                if bit:
-                    cur = self._save_branch(sib, ZERO4)
-                else:
-                    cur = self._save_branch(ZERO4, sib)
-                continue
-            if cur_is_leaf_chain is not None:
-                lvl_c, full_key, sib_value = cur_is_leaf_chain
-                if sib == ZERO4:
-                    continue  # leaf keeps floating up
-                # place the leaf here as the child at this level
-                leaf_h = self._save_leaf(remove_key_bits(full_key, lvl + 1),
-                                         sib_value)
-                leaf_bit = split_key(full_key)[lvl]
-                other = sib
-                if leaf_bit:
-                    cur = self._save_branch(other, leaf_h)
-                else:
-                    cur = self._save_branch(leaf_h, other)
-                cur_is_leaf_chain = None
-                continue
-            # normal rehash upward
-            left = tuple(node[0:4])
-            right = tuple(node[4:8])
-            if bit:
-                right = cur
-            else:
-                left = cur
-            cur = self._save_branch(left, right)
-        if cur_is_leaf_chain is not None:
-            lvl_c, full_key, sib_value = cur_is_leaf_chain
-            return self._save_leaf(full_key, sib_value)
-        return cur
+                            old_value=old_value, new_value=value, mode=mode,
+                            proof_hash_counter=phc,
+                            sibling_left_child=sib_left,
+                            sibling_right_child=sib_right)

@@ -95,16 +95,21 @@ def _hash_store(db, data8, capacity4):
 
 
 def _linear_hash_bytes(data: bytes):
-    """Poseidon linear hash of a byte stream packed 7 bytes/element
-    (the reference's poseidonLinearHash for contract bytecode)."""
-    elements = []
-    for i in range(0, len(data), 7):
-        elements.append(int.from_bytes(data[i:i + 7], "little"))
+    """Poseidon linear hash of a byte stream: pad with 0b1000...0001 to
+    56*N bytes, pack 7 bytes/element little-endian, absorb in 8-element
+    chunks with the previous digest as capacity (the reference's
+    poseidonLinearHash, utils.cpp:677-712; used for hashP digests and
+    contract bytecode hashes)."""
+    padded = bytearray(data)
+    padded.append(0x01)
+    while len(padded) % 56 != 0:
+        padded.append(0)
+    padded[-1] |= 0x80
+    elements = [int.from_bytes(padded[i:i + 7], "little")
+                for i in range(0, len(padded), 7)]
     digest = [0, 0, 0, 0]
-    for start in range(0, max(len(elements), 1), 8):
-        chunk = elements[start:start + 8]
-        chunk = chunk + [0] * (8 - len(chunk))
-        digest = poseidon_permute(chunk + digest)[:4]
+    for start in range(0, len(elements), 8):
+        digest = poseidon_permute(elements[start:start + 8] + digest)[:4]
     return tuple(digest)
 
 
