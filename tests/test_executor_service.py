@@ -43,7 +43,9 @@ def test_process_batch_v2(service):
     assert resp.error == pb.EXECUTOR_ERROR_NO_ERROR
     assert resp.new_state_root != b"\x00" * 32
     assert resp.cnt_steps > 0
-    assert resp.cnt_poseidon_hashes == 1  # one sWR
+    # one sWR on the empty tree: 2 leaf hashes (value + node,
+    # smt.cpp:1052-1056 counting) + 2 key-derivation permutations
+    assert resp.cnt_poseidon_hashes == 4
 
     from google.protobuf import empty_pb2
     status = flush(empty_pb2.Empty())

@@ -149,9 +149,14 @@ def test_real_batch_proof():
                                                   ProverService, RequestState,
                                                   RequestType)
 
+    from xlayer_prover_tpu.executor.storage_rom import StorageRom
+
     rom = Rom.load(REF_ROM)
+    storage_rom = StorageRom.load(
+        "/root/reference/config/scripts/storage_sm_rom.json")
     engine = BatchProver(rom, n_bits=16, chunk_bits=4, limb_bits=16,
-                         n_queries=8, max_steps=1 << 15)
+                         n_queries=8, max_steps=1 << 15,
+                         storage_rom=storage_rom)
     svc = ProverService(batch_prover=engine)
     try:
         inp = BatchInput.load(REF_VEC)

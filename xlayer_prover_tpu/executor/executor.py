@@ -41,7 +41,8 @@ class Executor:
                  limb_bits: int = 16, n_queries: int = 8,
                  max_steps: int = 1 << 22,
                  start_label: str = "start",
-                 stop_label: str = "finalizeExecution"):
+                 stop_label: str = "finalizeExecution",
+                 storage_rom=None):
         self.rom = rom
         self.start_label = start_label
         self.stop_label = stop_label
@@ -49,7 +50,7 @@ class Executor:
         self.air, self.layout = zkevm_air.build(
             rom, n_bits=n_bits, chunk_bits=chunk_bits, limb_bits=limb_bits,
             n_queries=n_queries, start_label=start_label,
-            stop_label=stop_label)
+            stop_label=stop_label, storage_rom=storage_rom)
 
     @property
     def functions(self) -> Dict[str, Callable]:

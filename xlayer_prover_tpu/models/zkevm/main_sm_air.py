@@ -63,8 +63,7 @@ INSTR_FLAGS = [
     "memAlignRD", "memAlignWR", "memAlignWR8",
 ]
 INSTR_VALUES = ["offset", "jmpAddr", "elseAddr", "binOpcode"]
-INSTR_DERIVED = ["isEq0", "incArith", "incKeccak", "incSha256",
-                 "incMemAlign", "incPaddingPG", "incPoseidonG"]
+INSTR_DERIVED = ["isEq0", "incArith", "incMemAlign"]
 
 # full committed instruction-word field list (order is the table encoding)
 INSTR_FIELDS = (list(IN_FIELDS) + [f"CONST{i}" for i in range(8)]
@@ -100,12 +99,8 @@ def encode_line(line: RomLine) -> dict:
         line.flag(f"arithEq{i}") for i in range(1, 6))
     enc["isEq0"] = 1 if (any_arith and only_eq0) else 0
     enc["incArith"] = 1 if any_arith else 0
-    enc["incKeccak"] = enc["hashK"] + enc["hashK1"]
-    enc["incSha256"] = enc["hashS"] + enc["hashS1"]
     enc["incMemAlign"] = (enc["memAlignRD"] + enc["memAlignWR"]
                           + enc["memAlignWR8"])
-    enc["incPaddingPG"] = enc["hashP"] + enc["hashP1"]
-    enc["incPoseidonG"] = enc["sRD"] + enc["sWR"]
     return enc
 
 
@@ -166,8 +161,15 @@ def build(b: AirBuilder, rom: Rom, n_bits: int,
         w[f"op{i}"] = b.witness(f"main_op{i}")
     for name in ("carry", "binCarry", "isNeg", "invOp0", "isZero", "addr",
                  "jmpDest", "elseDest", "zkPCjump", "zkPCnext", "rcxPre",
-                 "rcxZero1", "rcxInv1", "rcxZero2", "rcxInv2", "hashBytes"):
+                 "rcxZero1", "rcxInv1", "rcxZero2", "rcxInv2", "hashBytes",
+                 "incCnt"):
         w[name] = b.witness(f"main_{name}")
+    # storage-key pipeline (reference sKeyI/sKey committed columns):
+    # sCap = Poseidon(C||0)[0:4], sKey = Poseidon(A0..5,B0,B1||sCap)[0:4],
+    # each bound to real PoseidonG blocks by zkevm_air's key lookups
+    for j in range(4):
+        w[f"sCap{j}"] = b.witness(f"main_sCap{j}")
+        w[f"sKey{j}"] = b.witness(f"main_sKey{j}")
     for i in range(n_jmpn):
         w[f"jmpnLimb{i}"] = b.witness(f"main_jmpnLimb{i}")
     for f in INSTR_FIELDS:
@@ -303,11 +305,20 @@ def build(b: AirBuilder, rom: Rom, n_bits: int,
     b.constrain((one - hash_any) * w["hashBytes"])
 
     # ---- counters -----------------------------------------------------
+    # Unit counters step by ROM-bound flags; hash/storage counters step by
+    # the committed incCnt at the Digest / sRD / sWR row (reference
+    # main.pil incCounter: padded-block count at hashKDigest/hashSDigest/
+    # hashPDigest, proofHashCounter+2 at sRD/sWR — main_executor.cpp:2906,
+    # :3219, :3478, :2557).  On storage rows incCnt is bound to the
+    # Storage SM's own incCounter through the latch lookup (zkevm_air).
+    inc_cnt = w["incCnt"]
     incs = {"cntArith": w["incArith"], "cntBinary": w["bin"],
-            "cntKeccakF": w["incKeccak"], "cntSha256F": w["incSha256"],
+            "cntKeccakF": w["hashKDigest"] * inc_cnt,
+            "cntSha256F": w["hashSDigest"] * inc_cnt,
             "cntMemAlign": w["incMemAlign"],
-            "cntPaddingPG": w["incPaddingPG"],
-            "cntPoseidonG": w["incPoseidonG"]}
+            "cntPaddingPG": w["hashPDigest"] * inc_cnt,
+            "cntPoseidonG": (w["sRD"] + w["sWR"] + w["hashPDigest"])
+            * inc_cnt}
     for cnt in COUNTERS:
         c = w[cnt]
         b.constrain(notlast * (c.shifted() - c - incs[cnt]))
@@ -387,11 +398,15 @@ def expand_trace(layout: MainLayout, records, final_regs, cm1_np: np.ndarray):
 
     inv = gl.host_inv
 
+    final_counters = final_regs["counters"]
+
     for row in range(n):
         rec = records[row] if row < n_steps else None
         if rec is not None:
             regs = rec["regs"]
             enc = rec["enc"]
+            next_counters = records[row + 1]["counters"] \
+                if row + 1 < n_steps else final_counters
             op = rec["op"]
             free = rec["free"]
             carry = rec["carry"]
@@ -466,6 +481,28 @@ def expand_trace(layout: MainLayout, records, final_regs, cm1_np: np.ndarray):
         else:
             jump = (zkpc + 1) % P
         put(row, "zkPCjump", jump)
+        # variable counter increment + storage-key pipeline
+        if rec is not None:
+            cur = rec["counters"]
+            if enc["hashKDigest"]:
+                put(row, "incCnt", next_counters[2] - cur[2])
+            elif enc["hashSDigest"]:
+                put(row, "incCnt", next_counters[3] - cur[3])
+            elif enc["hashPDigest"]:
+                put(row, "incCnt", next_counters[5] - cur[5])
+            elif enc["sRD"] or enc["sWR"]:
+                put(row, "incCnt", next_counters[6] - cur[6])
+            if enc["sRD"] or enc["sWR"]:
+                from ...native import poseidon_permute
+                kin0 = [int(v) for v in regs["C"]] + [0, 0, 0, 0]
+                cap = poseidon_permute(kin0)[:4]
+                kin1 = [int(v) for v in regs["A"][0:6]] \
+                    + [int(regs["B"][0]), int(regs["B"][1])] + list(cap)
+                key = poseidon_permute(kin1)[:4]
+                for j in range(4):
+                    put(row, f"sCap{j}", cap[j])
+                    put(row, f"sKey{j}", key[j])
+
         rcx_pre = op0 if enc["setRCX"] else regs["RCX"]
         put(row, "rcxPre", rcx_pre)
         put(row, "rcxZero1", 0 if rcx_pre else 1)

@@ -37,7 +37,8 @@ def build(builder: AirBuilder, n_bits: int) -> PoseidonGLayout:
     """Add the PoseidonG column group + round constraints to the AIR."""
     consts, mds, _ = pc.get_params()
     fixed = {"PROW": builder.fixed("PG_PROW"),
-             "PFULL": builder.fixed("PG_PFULL")}
+             "PFULL": builder.fixed("PG_PFULL"),
+             "PFIRST": builder.fixed("PG_PFIRST")}
     for j in range(12):
         fixed[f"PC{j}"] = builder.fixed(f"PG_PC{j}")
     w = {}
@@ -74,6 +75,7 @@ def fill_fixed(layout: PoseidonGLayout, const_np: np.ndarray):
     n_blocks = n // ROWS_PER_PERM
     for b in range(n_blocks):
         r0 = b * ROWS_PER_PERM
+        const_np[r0, layout.fixed["PFIRST"].index] = 1
         for r in range(30):
             const_np[r0 + r, layout.fixed["PROW"].index] = 1
             if r < 4 or r >= 26:

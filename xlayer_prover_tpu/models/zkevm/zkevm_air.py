@@ -1,5 +1,6 @@
-"""The zkEVM circuit: Main SM + Binary SM + Memory SM + Arith SM in ONE
-AIR over a shared domain, with cross-SM arguments binding them.
+"""The zkEVM circuit: Main SM + Binary SM + Memory SM + Arith SM +
+Storage SM + ClimbKey SM + PoseidonG SM in ONE AIR over a shared domain,
+with cross-SM arguments binding them.
 
 This is the architecture of the reference's full zkevm STARK (751 committed
 polynomials over one 2^23 domain, commit_pols.hpp:1735-1737; the Executor
@@ -14,20 +15,31 @@ rows to each secondary SM):
     SM's proven A*B + C = D*2^256 + op relations (the 32-bit tuple limbs
     recompose the Arith SM's 16-bit-limb rows through multi-row shifts);
   * Main memory rows bind to the Memory SM's sorted-access consistency
-    argument by a selected permutation over (addr, step, wr, value).
+    argument by a selected permutation over (addr, step, wr, value);
+  * Main sRD/sWR rows derive the SMT key through two real PoseidonG
+    permutations (sCap = H(C||0), sKey = H(A[0:6],B[0:2]||sCap) — the
+    reference key_utils.cpp derivation) bound by plookups into the
+    PoseidonG SM table, then look up (oldRoot, [newRoot,] sKey, value,
+    incCounter+2) among the Storage SM's LATCH rows (reference main.pil
+    storage lookups; storage_executor.cpp:899-1035 latch semantics);
+  * the Storage SM replays the SMT micro-ROM with its own Poseidon and
+    ClimbKey bindings (storage_sm.bind).
 
-Storage/hash/memAlign/EC-arith rows remain host-verified by the executor
-in this round (see main_sm_air.py docstring for the scope statement).
+Hash chains (hashK/P/S digests enter as free inputs) and EC arith
+equations eq1-5 remain host-verified by the executor in this round; they
+bind through their own SMs as those circuits land.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
-from ...stark.air import AirBuilder
-from . import arith_sm, binary_sm, main_sm_air, memory_sm, poseidon_g_sm
+from ...stark.air import AirBuilder, Const
+from . import (arith_sm, binary_sm, climb_key_sm, main_sm_air, memory_sm,
+               poseidon_g_sm, storage_sm)
 
 
 @dataclasses.dataclass
@@ -37,17 +49,25 @@ class ZkevmLayout:
     memory: memory_sm.MemoryLayout
     arith: arith_sm.ArithLayout
     poseidon: poseidon_g_sm.PoseidonGLayout
+    storage: Optional[storage_sm.StorageLayout] = None
+    climb_key: Optional[climb_key_sm.ClimbKeyLayout] = None
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
           n_queries: int = 8, start_label: str = "start",
-          stop_label: str = "finalizeExecution"):
+          stop_label: str = "finalizeExecution", storage_rom=None):
     b = AirBuilder("zkevm", n_bits, n_queries=n_queries, fri_fold_bits=3)
     main = main_sm_air.build(b, rom, n_bits, start_label, stop_label)
     binl = binary_sm.build(b, n_bits, chunk_bits)
     meml = memory_sm.build(b, n_bits)
     aril = arith_sm.build(b, 256, limb_bits)
     posl = poseidon_g_sm.build(b, n_bits)
+    storl = ckl = None
+    if storage_rom is not None:
+        storl = storage_sm.build(b, storage_rom, n_bits)
+        ckl = climb_key_sm.build(b, n_bits,
+                                 range_table=main.fixed["M_RANGE"])
+        storage_sm.bind(b, storl, ckl, posl)
 
     mw, mf = main.witness, main.fixed
 
@@ -96,9 +116,76 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
     b.permutation(f_cols, t_cols, f_sel=mw["mOp"],
                   t_sel=meml.witness["active"])
 
+    # ---- Main -> PoseidonG: SMT key derivation -----------------------
+    # (reference key_utils.cpp keyEthAddrBalance/...: two chained
+    # permutations; requests recorded by main_sm._storage_key)
+    s_sel = mw["sRD"] + mw["sWR"]
+    pg_table = ([posl.witness[f"ps{j}"] for j in range(12)]
+                + [posl.witness[f"ps{j}"]
+                   .shifted(poseidon_g_sm.ROWS_PER_PERM - 1)
+                   for j in range(4)])
+    f_cols = [mw[f"C{j}"] for j in range(8)] + [Const(0)] * 4 \
+        + [mw[f"sCap{j}"] for j in range(4)]
+    b.plookup(f_cols, pg_table, f_sel=s_sel, t_sel=posl.fixed["PFIRST"])
+    f_cols = [mw[f"A{j}"] for j in range(6)] + [mw["B0"], mw["B1"]] \
+        + [mw[f"sCap{j}"] for j in range(4)] \
+        + [mw[f"sKey{j}"] for j in range(4)]
+    b.plookup(f_cols, pg_table, f_sel=s_sel, t_sel=posl.fixed["PFIRST"])
+
+    # ---- Main -> Storage latch rows ----------------------------------
+    if storl is not None:
+        sw = storl.witness
+        two32 = Const(1 << 32)
+
+        def sr_quad(j):
+            return mw[f"SR{2 * j}"] + two32 * mw[f"SR{2 * j + 1}"]
+
+        def op_quad(j):
+            return mw[f"op{2 * j}"] + two32 * mw[f"op{2 * j + 1}"]
+
+        # sRD: {oldRoot, key, value, incCounter} in latchGet rows
+        f_cols = ([sr_quad(j) for j in range(4)]
+                  + [mw[f"sKey{j}"] for j in range(4)]
+                  + [mw[f"op{j}"] for j in range(8)]
+                  + [mw["incCnt"]])
+        t_cols = ([sw[f"OLD_ROOT{j}"] for j in range(4)]
+                  + [sw[f"RKEY{j}"] for j in range(4)]
+                  + [sw[f"VALUE_LOW{j}"] for j in range(4)]
+                  + [sw[f"VALUE_HIGH{j}"] for j in range(4)]
+                  + [sw["incCounter"] + Const(2)])
+        b.plookup(f_cols, t_cols, f_sel=mw["sRD"], t_sel=sw["latchGet"])
+
+        # sWR: {oldRoot, newRoot=op, key, value=D, incCounter}
+        f_cols = ([sr_quad(j) for j in range(4)]
+                  + [op_quad(j) for j in range(4)]
+                  + [mw[f"sKey{j}"] for j in range(4)]
+                  + [mw[f"D{j}"] for j in range(8)]
+                  + [mw["incCnt"]])
+        t_cols = ([sw[f"OLD_ROOT{j}"] for j in range(4)]
+                  + [sw[f"NEW_ROOT{j}"] for j in range(4)]
+                  + [sw[f"RKEY{j}"] for j in range(4)]
+                  + [sw[f"VALUE_LOW{j}"] for j in range(4)]
+                  + [sw[f"VALUE_HIGH{j}"] for j in range(4)]
+                  + [sw["incCounter"] + Const(2)])
+        b.plookup(f_cols, t_cols, f_sel=mw["sWR"], t_sel=sw["latchSet"])
+
     air = b.compile()
     return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
-                            poseidon=posl)
+                            poseidon=posl, storage=storl, climb_key=ckl)
+
+
+def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
+    """Input-independent constant polynomials for the circuit."""
+    const_np = np.zeros((air.n, air.const_width), dtype=np.uint64)
+    main_sm_air.fill_fixed(layout.main, const_np)
+    binary_sm.fill_fixed(layout.binary, const_np)
+    memory_sm.fill_fixed(layout.memory, const_np)
+    arith_sm.fill_fixed(layout.arith, const_np)
+    poseidon_g_sm.fill_fixed(layout.poseidon, const_np)
+    if layout.storage is not None:
+        storage_sm.fill_fixed(layout.storage, const_np)
+        climb_key_sm.fill_fixed(layout.climb_key, const_np)
+    return const_np
 
 
 def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
@@ -109,12 +196,7 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     Returns (const_np, cm1_np, publics).
     """
     n = air.n
-    const_np = np.zeros((n, air.const_width), dtype=np.uint64)
-    main_sm_air.fill_fixed(layout.main, const_np)
-    binary_sm.fill_fixed(layout.binary, const_np)
-    memory_sm.fill_fixed(layout.memory, const_np)
-    arith_sm.fill_fixed(layout.arith, const_np)
-    poseidon_g_sm.fill_fixed(layout.poseidon, const_np)
+    const_np = fill_fixed(air, layout)
 
     cm1 = np.zeros((n, air.cm1_width), dtype=np.uint64)
     main_sm_air.expand_trace(layout.main, records, final_regs, cm1)
@@ -126,7 +208,14 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     eq0_actions = [(a, b, c) for (kind, a, b, c, _d, _res) in required.arith
                    if kind == 0]
     arith_sm.expand_trace(layout.arith, eq0_actions, cm1)
-    poseidon_g_sm.expand_into(layout.poseidon, list(required.poseidon), cm1)
+
+    pg_actions = [list(r) for r in required.poseidon]
+    if layout.storage is not None:
+        spg, sck = storage_sm.expand_into(layout.storage,
+                                          list(required.storage), cm1)
+        pg_actions += [list(t[0]) for t in spg]
+        climb_key_sm.expand_into(layout.climb_key, sck, cm1)
+    poseidon_g_sm.expand_into(layout.poseidon, pg_actions, cm1)
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
     return const_np, cm1, publics

@@ -74,12 +74,13 @@ class BatchProver:
 
     def __init__(self, rom, n_bits: int = 16, chunk_bits: int = 4,
                  limb_bits: int = 16, n_queries: int = 8,
-                 max_steps: int = 1 << 22):
+                 max_steps: int = 1 << 22, storage_rom=None):
         from .executor import rom_functions as rf
         from .executor.executor import Executor
         self.executor = Executor(rom, n_bits=n_bits, chunk_bits=chunk_bits,
                                  limb_bits=limb_bits, n_queries=n_queries,
-                                 max_steps=max_steps)
+                                 max_steps=max_steps,
+                                 storage_rom=storage_rom)
         rf.register_all(self.executor.main)
         self._setup = None
 
@@ -89,17 +90,8 @@ class BatchProver:
 
     def setup(self):
         if self._setup is None:
-            import numpy as np
             from .models.zkevm import zkevm_air
-            n = self.air.n
-            const_np = np.zeros((n, self.air.const_width), dtype=np.uint64)
-            from .models.zkevm import arith_sm, binary_sm, main_sm_air, \
-                memory_sm, poseidon_g_sm
-            main_sm_air.fill_fixed(self.executor.layout.main, const_np)
-            binary_sm.fill_fixed(self.executor.layout.binary, const_np)
-            memory_sm.fill_fixed(self.executor.layout.memory, const_np)
-            arith_sm.fill_fixed(self.executor.layout.arith, const_np)
-            poseidon_g_sm.fill_fixed(self.executor.layout.poseidon, const_np)
+            const_np = zkevm_air.fill_fixed(self.air, self.executor.layout)
             self._setup = stark_prover.Setup.build(self.air, const_np)
         return self._setup
 

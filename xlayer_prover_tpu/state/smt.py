@@ -180,14 +180,16 @@ class Smt:
                 value_hash = tuple(node[4:8])
                 value = fea8_to_value(self._read(value_hash)[0:8])
                 rem_key = remove_key_bits(key, level)
-                phc = len(siblings)
+                # reference smt.cpp:1052-1056: siblings + 2 whenever a
+                # leaf was reached (isOld0 == false), found or not — the
+                # +2 is the leaf's value hash + node hash in the replay
+                phc = len(siblings) + 2
                 if leaf_rkey == rem_key:
                     return SmtGetResult(root=root, key=key, value=value,
                                         found=True, siblings=siblings,
                                         ins_key=None, ins_value=0,
                                         is_old0=False,
-                                        proof_hash_counter=phc
-                                        + (2 if value != 0 else 0))
+                                        proof_hash_counter=phc)
                 ins_key = join_key(bits[:level], leaf_rkey)
                 return SmtGetResult(root=root, key=key, value=0, found=False,
                                     siblings=siblings, ins_key=ins_key,
