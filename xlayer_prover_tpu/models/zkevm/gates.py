@@ -87,6 +87,7 @@ class GateScript:
     n_wires: int
     levels: list            # per level: (ops[], a[], b[], r[]) int32 arrays
     outputs: np.ndarray     # wire index per output bit
+    gates: list = None      # raw (op, a, b, r) emission order (for the AIR)
 
     @property
     def n_gates(self):
@@ -110,7 +111,25 @@ def levelize(builder: GateBuilder, output_wires) -> GateScript:
         levels.append((arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]))
     return GateScript(n_inputs=builder.n_inputs, n_wires=builder.n_wires,
                       levels=levels,
-                      outputs=np.asarray(output_wires, dtype=np.int32))
+                      outputs=np.asarray(output_wires, dtype=np.int32),
+                      gates=list(builder.gates))
+
+
+def execute_all_wires_np(script: GateScript, inputs: np.ndarray,
+                         pack_bits: int) -> np.ndarray:
+    """Host-numpy evaluation returning EVERY wire value (for AIR trace
+    fill): inputs is (n_inputs,) uint64 of pack_bits-packed instance bits;
+    returns (n_wires,) uint64."""
+    mask = np.uint64((1 << pack_bits) - 1)
+    wires = np.zeros(script.n_wires, dtype=np.uint64)
+    wires[1] = mask
+    wires[2:2 + script.n_inputs] = np.asarray(inputs, dtype=np.uint64)
+    for (ops, a, b, r) in script.levels:
+        va = wires[a]
+        vb = wires[b]
+        res = np.where(ops == OP_XOR, va ^ vb, (~va) & vb) & mask
+        wires[r] = res
+    return wires
 
 
 def execute(script: GateScript, inputs):
