@@ -79,6 +79,16 @@ class Executor:
             self.main.execute(ctx, self.start_label, self.stop_label)
         req: Required = ctx.required
 
+        from ..models.zkevm.padding_pg_sm import PaddingPGInput
+        from .main_sm import linearize_reads
+        for addr in sorted(ctx.hash_p):
+            st = ctx.hash_p[addr]
+            req.padding_pg.append(PaddingPGInput(
+                addr=addr, data=bytes(st.data),
+                reads=linearize_reads(st, f"hashP addr={addr}"),
+                len_called=st.len_called,
+                digest_called=st.digest_called))
+
         regs = ctx.regs
         final_regs = {
             "A": list(regs.A), "B": list(regs.B), "C": list(regs.C),

@@ -144,6 +144,27 @@ class Required:
     mem_align: list = dataclasses.field(default_factory=list)
     storage: list = dataclasses.field(default_factory=list)
     poseidon: list = dataclasses.field(default_factory=list)
+    padding_pg: list = dataclasses.field(default_factory=list)
+
+
+def linearize_reads(st: "HashState", zkpc_hint: str = "") -> list:
+    """Read partition in position order (reference main_executor.cpp:5570-
+    5589): recorded read lengths, singleton fallback for uncovered bytes;
+    overlapping reads are an executor error."""
+    reads = []
+    p = 0
+    while p < len(st.data):
+        ln = st.reads.get(p, 0)
+        if ln:
+            reads.append(ln)
+            p += ln
+        else:
+            reads.append(1)
+            p += 1
+    if p != len(st.data):
+        raise ZkError(ZkResult.PROVER_ERROR,
+                      f"hash read out of limits {zkpc_hint}")
+    return reads
 
 
 class HashState:
@@ -153,6 +174,11 @@ class HashState:
         self.digest = None
         self.first_byte_written = False
         self.digest_called = False
+        self.len_called = False
+        # pos -> byte length of every access (read or write): the chunk
+        # read partition the padding SMs replay (reference
+        # main_executor.cpp:2778 ctx.hash*[addr].reads[pos] = size)
+        self.reads: Dict[int, int] = {}
 
     def write(self, pos: int, data: bytes, zkpc: int,
               first_byte_games: bool = False):
@@ -953,13 +979,32 @@ class MainExecutor:
                 fe_to_s32(regs.D[0])
             if not (1 <= nbytes <= 32):
                 raise ZkError(ZkResult.PROVER_ERROR, "hash size out of range")
-            data = fea_to_scalar(op).to_bytes(32, "big")[-nbytes:]
-            st.write(regs.HASHPOS, data, line.zkpc,
+            value = fea_to_scalar(op)
+            if value >> (8 * nbytes):
+                # op bytes beyond size must be zero (the padding-SM lookup
+                # compares all 8 limbs; main_executor.cpp:2754-2761)
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"{prefix} value beyond size at "
+                              f"zkPC={line.zkpc}")
+            data = value.to_bytes(32, "big")[-nbytes:]
+            pos = regs.HASHPOS
+            seeds_zero = (prefix == "hashP" and pos == 1 and not st.data
+                          and not st.first_byte_written)
+            st.write(pos, data, line.zkpc,
                      first_byte_games=(prefix == "hashP"))
+            if seeds_zero:
+                # the zero placeholder byte is its own singleton read
+                # (main_executor.cpp:3000 ctx.hashP[addr].reads[0] = 1)
+                st.reads[0] = 1
+            if st.reads.setdefault(pos, nbytes) != nbytes:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"{prefix} two read sizes at pos {pos}, "
+                              f"zkPC={line.zkpc}")
             regs.HASHPOS = (regs.HASHPOS + nbytes) % P
             ctx._hash_bytes = nbytes
         elif line.flag(prefix + "Len"):
             st.len = op[0]
+            st.len_called = True
         elif line.flag(prefix + "Digest"):
             if fea_to_scalar(op) != self._hash_digest(st, prefix):
                 raise ZkError(ZkResult.PROVER_ERROR,

@@ -39,7 +39,7 @@ import numpy as np
 
 from ...stark.air import AirBuilder, Const
 from . import (arith_sm, binary_sm, climb_key_sm, main_sm_air, memory_sm,
-               poseidon_g_sm, storage_sm)
+               padding_pg_sm, poseidon_g_sm, storage_sm)
 
 
 @dataclasses.dataclass
@@ -51,11 +51,13 @@ class ZkevmLayout:
     poseidon: poseidon_g_sm.PoseidonGLayout
     storage: Optional[storage_sm.StorageLayout] = None
     climb_key: Optional[climb_key_sm.ClimbKeyLayout] = None
+    padding_pg: Optional[padding_pg_sm.PaddingPGLayout] = None
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
           n_queries: int = 8, start_label: str = "start",
-          stop_label: str = "finalizeExecution", storage_rom=None):
+          stop_label: str = "finalizeExecution", storage_rom=None,
+          with_padding_pg: bool = True):
     b = AirBuilder("zkevm", n_bits, n_queries=n_queries, fri_fold_bits=3)
     main = main_sm_air.build(b, rom, n_bits, start_label, stop_label)
     binl = binary_sm.build(b, n_bits, chunk_bits)
@@ -68,6 +70,7 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
         ckl = climb_key_sm.build(b, n_bits,
                                  range_table=main.fixed["M_RANGE"])
         storage_sm.bind(b, storl, ckl, posl)
+    ppl = padding_pg_sm.build(b, n_bits) if with_padding_pg else None
 
     mw, mf = main.witness, main.fixed
 
@@ -169,9 +172,38 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
                   + [sw["incCounter"] + Const(2)])
         b.plookup(f_cols, t_cols, f_sel=mw["sWR"], t_sel=sw["latchSet"])
 
+    # ---- Main -> PaddingPG (hashP chain) -----------------------------
+    if ppl is not None:
+        pw = ppl.witness
+        two32 = Const(1 << 32)
+        # data access rows: (addr, start pos, byte count, value)
+        f_cols = [mw["addr"], mw["HASHPOS"], mw["hashBytes"]] \
+            + [mw[f"op{j}"] for j in range(8)]
+        t_cols = [pw["addr"], ppl.pos_expr(), pw["crLen"]] \
+            + [pw[f"crV{j}"] for j in range(8)]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashP"] + mw["hashP1"],
+                  t_sel=pw["crLatch"])
+        # hashPLen: (addr, length)
+        b.plookup([mw["addr"], mw["op0"]], [pw["addr"], pw["len"]],
+                  f_sel=mw["hashPLen"], t_sel=pw["lastHash"])
+        # hashPDigest: (addr, curHash quads, block count) — op limb pairs
+        # recompose the 4x64-bit digest (fea2scalar packing); incCnt is
+        # the counter bump ceil((len+1)/56)
+        f_cols = [mw["addr"]] \
+            + [mw[f"op{2 * j}"] + two32 * mw[f"op{2 * j + 1}"]
+               for j in range(4)] + [mw["incCnt"]]
+        t_cols = [pw["addr"]] + [pw[f"curHash{j}"] for j in range(4)] \
+            + [pw["incCounter"]]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashPDigest"],
+                  t_sel=pw["lastHash"])
+        # block rows -> PoseidonG permutation instances
+        f_cols, f_sel = padding_pg_sm.poseidon_lookup_cols(ppl)
+        b.plookup(f_cols, pg_table, f_sel=f_sel, t_sel=posl.fixed["PFIRST"])
+
     air = b.compile()
     return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
-                            poseidon=posl, storage=storl, climb_key=ckl)
+                            poseidon=posl, storage=storl, climb_key=ckl,
+                            padding_pg=ppl)
 
 
 def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
@@ -185,6 +217,8 @@ def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
     if layout.storage is not None:
         storage_sm.fill_fixed(layout.storage, const_np)
         climb_key_sm.fill_fixed(layout.climb_key, const_np)
+    if layout.padding_pg is not None:
+        padding_pg_sm.fill_fixed(layout.padding_pg, const_np)
     return const_np
 
 
@@ -215,6 +249,9 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
                                           list(required.storage), cm1)
         pg_actions += [list(t[0]) for t in spg]
         climb_key_sm.expand_into(layout.climb_key, sck, cm1)
+    if layout.padding_pg is not None:
+        pg_actions += padding_pg_sm.expand_into(
+            layout.padding_pg, list(required.padding_pg), cm1)
     poseidon_g_sm.expand_into(layout.poseidon, pg_actions, cm1)
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
