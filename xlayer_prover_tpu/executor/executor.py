@@ -79,15 +79,17 @@ class Executor:
             self.main.execute(ctx, self.start_label, self.stop_label)
         req: Required = ctx.required
 
-        from ..models.zkevm.padding_pg_sm import PaddingPGInput
+        from ..models.zkevm.padding_bytes import ByteStreamInput
         from .main_sm import linearize_reads
-        for addr in sorted(ctx.hash_p):
-            st = ctx.hash_p[addr]
-            req.padding_pg.append(PaddingPGInput(
-                addr=addr, data=bytes(st.data),
-                reads=linearize_reads(st, f"hashP addr={addr}"),
-                len_called=st.len_called,
-                digest_called=st.digest_called))
+        for prefix, table, out in (("hashP", ctx.hash_p, req.padding_pg),
+                                   ("hashK", ctx.hash_k, req.padding_kk)):
+            for addr in sorted(table):
+                st = table[addr]
+                out.append(ByteStreamInput(
+                    addr=addr, data=bytes(st.data),
+                    reads=linearize_reads(st, f"{prefix} addr={addr}"),
+                    len_called=st.len_called,
+                    digest_called=st.digest_called))
 
         regs = ctx.regs
         final_regs = {

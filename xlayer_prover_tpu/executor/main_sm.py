@@ -145,6 +145,7 @@ class Required:
     storage: list = dataclasses.field(default_factory=list)
     poseidon: list = dataclasses.field(default_factory=list)
     padding_pg: list = dataclasses.field(default_factory=list)
+    padding_kk: list = dataclasses.field(default_factory=list)
 
 
 def linearize_reads(st: "HashState", zkpc_hint: str = "") -> list:

@@ -57,6 +57,15 @@ class GateSmLayout:
     def slot_row0(self, slot: int) -> int:
         return 1 + slot * len(self.script.gates)
 
+    def join(self, slot: int, wire: int, chunk: int, row: int,
+             extra_idx: int):
+        """Join an external cell (``row`` of connection column position
+        3*n_chunks + extra_idx) into the (slot, wire, chunk) sigma cycle.
+        Must be called before fill_fixed."""
+        key = (None, wire, chunk) if wire in (0, 1) else (slot, wire, chunk)
+        self.wire_cells.setdefault(key, []).append(
+            (row, 3 * self.n_chunks + extra_idx))
+
     def input_cells(self, slot: int):
         """Input wire i -> [(row, col) first-use cell per chunk].
         Returns entries only for used inputs."""
@@ -77,7 +86,10 @@ class GateSmLayout:
 
 def build(b: AirBuilder, script: GateScript, n_bits: int,
           pack_bits: int = 44, chunk_bits: int = 11,
-          prefix: str = "KF") -> GateSmLayout:
+          prefix: str = "KF", extra_cols=None) -> GateSmLayout:
+    """``extra_cols``: committed columns of OTHER SMs included in the
+    connection argument so their cells can join wire cycles (the
+    bits2field-style packing binding) via ``GateSmLayout.join``."""
     n = 1 << n_bits
     assert pack_bits % chunk_bits == 0, \
         "pack_bits must be a multiple of chunk_bits (no headroom bits)"
@@ -98,7 +110,9 @@ def build(b: AirBuilder, script: GateScript, n_bits: int,
         for k in range(nc):
             w[f"{role}{k}"] = b.witness(f"{prefix.lower()}_{role}{k}")
             cols.append(w[f"{role}{k}"])
-    sigs = [b.fixed(f"{prefix}_SIG{j}") for j in range(3 * nc)]
+    extra_cols = list(extra_cols or [])
+    cols = cols + extra_cols
+    sigs = [b.fixed(f"{prefix}_SIG{j}") for j in range(len(cols))]
     for j, s in enumerate(sigs):
         fixed[f"SIG{j}"] = s
 
@@ -116,7 +130,7 @@ def build(b: AirBuilder, script: GateScript, n_bits: int,
                   f_sel=fixed["ROWSEL"], t_sel=fixed["TSEL"])
 
     # wiring: one wide connection argument
-    k_coeffs = [pow(7, j, P) for j in range(3 * nc)]
+    k_coeffs = [pow(7, j, P) for j in range(len(cols))]
     b.connection(cols, sigs, k_coeffs)
 
     # wire -> cells map (built once; fill_fixed turns it into sigma
@@ -187,7 +201,7 @@ def fill_fixed(layout: GateSmLayout, const_np: np.ndarray):
     for i in range(n):
         x[i] = cur
         cur = (cur * wgen) % P
-    for j in range(3 * nc):
+    for j in range(len(layout.k_coeffs)):
         const_np[:, fx[f"SIG{j}"].index] = \
             glh.mul(x, np.uint64(layout.k_coeffs[j]))
     for cells in layout.wire_cells.values():

@@ -38,8 +38,9 @@ from typing import Optional
 import numpy as np
 
 from ...stark.air import AirBuilder, Const
-from . import (arith_sm, binary_sm, climb_key_sm, main_sm_air, memory_sm,
-               padding_pg_sm, poseidon_g_sm, storage_sm)
+from . import (arith_sm, binary_sm, climb_key_sm, keccak_chain_sm,
+               main_sm_air, memory_sm, padding_pg_sm, poseidon_g_sm,
+               storage_sm)
 
 
 @dataclasses.dataclass
@@ -52,12 +53,16 @@ class ZkevmLayout:
     storage: Optional[storage_sm.StorageLayout] = None
     climb_key: Optional[climb_key_sm.ClimbKeyLayout] = None
     padding_pg: Optional[padding_pg_sm.PaddingPGLayout] = None
+    keccak: Optional[keccak_chain_sm.KeccakChainLayout] = None
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
           n_queries: int = 8, start_label: str = "start",
           stop_label: str = "finalizeExecution", storage_rom=None,
-          with_padding_pg: bool = True):
+          with_padding_pg: bool = True, with_keccak: bool = None):
+    # the keccak gate slot needs >153k rows (one 48-lane permutation)
+    if with_keccak is None:
+        with_keccak = n_bits >= 18
     b = AirBuilder("zkevm", n_bits, n_queries=n_queries, fri_fold_bits=3)
     main = main_sm_air.build(b, rom, n_bits, start_label, stop_label)
     binl = binary_sm.build(b, n_bits, chunk_bits)
@@ -71,6 +76,7 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
                                  range_table=main.fixed["M_RANGE"])
         storage_sm.bind(b, storl, ckl, posl)
     ppl = padding_pg_sm.build(b, n_bits) if with_padding_pg else None
+    kcl = keccak_chain_sm.build(b, n_bits) if with_keccak else None
 
     mw, mf = main.witness, main.fixed
 
@@ -200,10 +206,31 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
         f_cols, f_sel = padding_pg_sm.poseidon_lookup_cols(ppl)
         b.plookup(f_cols, pg_table, f_sel=f_sel, t_sel=posl.fixed["PFIRST"])
 
+    # ---- Main -> PaddingKK (hashK chain) -----------------------------
+    if kcl is not None:
+        kw = kcl.kk.witness
+        two32 = Const(1 << 32)
+        f_cols = [mw["addr"], mw["HASHPOS"], mw["hashBytes"]] \
+            + [mw[f"op{j}"] for j in range(8)]
+        t_cols = [kw["addr"], kcl.kk.pos_expr(), kw["crLen"]] \
+            + [kw[f"crV{j}"] for j in range(8)]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashK"] + mw["hashK1"],
+                  t_sel=kw["crLatch"])
+        b.plookup([mw["addr"], mw["op0"]], [kw["addr"], kw["len"]],
+                  f_sel=mw["hashKLen"], t_sel=kw["lastHash"])
+        # digest: op limbs are already 32-bit — direct limb match, plus
+        # the incCounter block count driving cntKeccakF
+        f_cols = [mw["addr"]] + [mw[f"op{j}"] for j in range(8)] \
+            + [mw["incCnt"]]
+        t_cols = [kw["addr"]] + [kw[f"hash{j}"] for j in range(8)] \
+            + [kw["incCounter"]]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashKDigest"],
+                  t_sel=kw["lastHash"])
+
     air = b.compile()
     return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
                             poseidon=posl, storage=storl, climb_key=ckl,
-                            padding_pg=ppl)
+                            padding_pg=ppl, keccak=kcl)
 
 
 def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
@@ -219,6 +246,8 @@ def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
         climb_key_sm.fill_fixed(layout.climb_key, const_np)
     if layout.padding_pg is not None:
         padding_pg_sm.fill_fixed(layout.padding_pg, const_np)
+    if layout.keccak is not None:
+        keccak_chain_sm.fill_fixed(layout.keccak, const_np)
     return const_np
 
 
@@ -253,6 +282,9 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
         pg_actions += padding_pg_sm.expand_into(
             layout.padding_pg, list(required.padding_pg), cm1)
     poseidon_g_sm.expand_into(layout.poseidon, pg_actions, cm1)
+    if layout.keccak is not None:
+        keccak_chain_sm.expand_into(layout.keccak,
+                                    list(required.padding_kk), cm1)
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
     return const_np, cm1, publics
