@@ -82,7 +82,8 @@ class Executor:
         from ..models.zkevm.padding_bytes import ByteStreamInput
         from .main_sm import linearize_reads
         for prefix, table, out in (("hashP", ctx.hash_p, req.padding_pg),
-                                   ("hashK", ctx.hash_k, req.padding_kk)):
+                                   ("hashK", ctx.hash_k, req.padding_kk),
+                                   ("hashS", ctx.hash_s, req.padding_sha)):
             for addr in sorted(table):
                 st = table[addr]
                 out.append(ByteStreamInput(

@@ -146,6 +146,7 @@ class Required:
     poseidon: list = dataclasses.field(default_factory=list)
     padding_pg: list = dataclasses.field(default_factory=list)
     padding_kk: list = dataclasses.field(default_factory=list)
+    padding_sha: list = dataclasses.field(default_factory=list)
 
 
 def linearize_reads(st: "HashState", zkpc_hint: str = "") -> list:

@@ -102,7 +102,6 @@ def build_core(b: AirBuilder, prefix: str, n_bits: int, block_bytes: int,
     b.constrain(act * (one - w["remZero"])
                 * (one - w["rem"] * w["remInv"]))
     b.constrain(w["spare"] * (one - w["spare"]))
-    b.constrain(w["lastHash"] - last * rem_or)
     b.constrain(w["crLatch"] * w["crOffset"])
     b.constrain(act * (one - w["crLatch"])
                 * (one - w["crOffset"] * w["crOffsetInv"]))
@@ -110,12 +109,9 @@ def build_core(b: AirBuilder, prefix: str, n_bits: int, block_bytes: int,
     # stream ends only on a read boundary
     b.constrain(w["lastHash"] * (one - w["crLatch"]))
 
-    # ---- byte + padding rules ---------------------------------------
+    # byte range; the lastHash definition and the pad-byte value rules
+    # are mode-specific (bind_multirate / the SHA suffix rules)
     b.plookup([w["freeIn"]], [fixed["BYTE"]])
-    pad80 = Const(0x80) * w["lastHash"]
-    b.constrain(act * w["remZero"] * (one - w["spare"])
-                * (w["freeIn"] - one - pad80))
-    b.constrain(w["spare"] * (w["freeIn"] - pad80))
 
     # ---- chunk-read registers ---------------------------------------
     b.plookup([w["crOffset"]] + [w[f"crF{k}"] for k in range(8)],
@@ -156,6 +152,19 @@ def build_core(b: AirBuilder, prefix: str, n_bits: int, block_bytes: int,
     return ByteStreamCore(n_bits=n_bits, block_bytes=block_bytes,
                           n_active=n_active, fixed=fixed, witness=w,
                           prefix=prefix)
+
+
+def bind_multirate(b: AirBuilder, core: ByteStreamCore):
+    """0x01 ... 0x80 padding: streams end at the first block boundary at
+    or past the 0x01 byte (PG sponge + keccak semantics)."""
+    w = core.witness
+    one = Const(1)
+    rem_or = w["spare"] + w["remZero"] - w["spare"] * w["remZero"]
+    b.constrain(w["lastHash"] - core.fixed["LAST"] * rem_or)
+    pad80 = Const(0x80) * w["lastHash"]
+    b.constrain(core.fixed["ACTIVE"] * w["remZero"] * (one - w["spare"])
+                * (w["freeIn"] - one - pad80))
+    b.constrain(w["spare"] * (w["freeIn"] - pad80))
 
 
 def fill_core_fixed(core: ByteStreamCore, const_np: np.ndarray):

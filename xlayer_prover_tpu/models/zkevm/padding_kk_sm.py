@@ -26,8 +26,9 @@ from typing import List
 import numpy as np
 
 from ...stark.air import AirBuilder, Const, FirstRowSelector
-from .padding_bytes import (ByteStreamCore, ByteStreamInput, build_core,
-                            fill_core_fixed, fill_core_stream, pad_multirate)
+from .padding_bytes import (ByteStreamCore, ByteStreamInput,
+                            bind_multirate, build_core, fill_core_fixed,
+                            fill_core_stream, pad_multirate)
 
 BLOCK = 136       # keccak-256 rate bytes
 
@@ -55,6 +56,7 @@ def pad_bytes(data: bytes) -> bytes:
 
 def build(b: AirBuilder, n_bits: int, n_blocks: int) -> PaddingKKLayout:
     core = build_core(b, "PK", n_bits, BLOCK, n_blocks=n_blocks)
+    bind_multirate(b, core)
     w = dict(core.witness)
     fixed = dict(core.fixed)
     fixed["BLOCKID"] = b.fixed("PK_BLOCKID")

@@ -27,8 +27,9 @@ import numpy as np
 from ...fields import gl
 from ...native import poseidon_permute
 from ...stark.air import AirBuilder, Const, FirstRowSelector
-from .padding_bytes import (ByteStreamCore, ByteStreamInput, build_core,
-                            fill_core_fixed, fill_core_stream, pad_multirate)
+from .padding_bytes import (ByteStreamCore, ByteStreamInput,
+                            bind_multirate, build_core, fill_core_fixed,
+                            fill_core_stream, pad_multirate)
 
 P = gl.P
 BLOCK = 56          # bytes per block
@@ -71,6 +72,7 @@ def linear_hash_blocks(padded: bytes):
 
 def build(b: AirBuilder, n_bits: int) -> PaddingPGLayout:
     core = build_core(b, "PP", n_bits, BLOCK)
+    bind_multirate(b, core)
     w = dict(core.witness)
     fixed = dict(core.fixed)
     for k in range(8):
