@@ -23,10 +23,10 @@ per-step fill of main_executor.cpp:297-320):
     label (the reference instead relies on the ROM's own finalizeExecution
     wait loop closing the 2^23 cycle).
 
-Out-of-circuit in this version (documented scope, expanded in later
-rounds): storage ops (sRD/sWR), the hash chains (hashK/P/S — digests enter
-as free inputs), memAlign, and EC arith equations eq1-5 (host-checked by
-the executor); these bind through their own SMs as those circuits land.
+Storage (sRD/sWR), hash chains (hashK/P/S), memAlign and Binary/Memory/
+Arith-eq0 all bind through their own SM circuits (zkevm_air).
+Out-of-circuit in this version (documented scope): EC arith equations
+eq1-5 (host-checked by the executor).
 """
 
 from __future__ import annotations

@@ -25,9 +25,14 @@ rows to each secondary SM):
   * the Storage SM replays the SMT micro-ROM with its own Poseidon and
     ClimbKey bindings (storage_sm.bind).
 
-Hash chains (hashK/P/S digests enter as free inputs) and EC arith
-equations eq1-5 remain host-verified by the executor in this round; they
-bind through their own SMs as those circuits land.
+Hash chains: Main hashP/hashK/hashS rows bind to the PaddingPG /
+PaddingKK->KeccakF / PaddingSha256->Sha256F chain circuits (data access,
+length, digest + block-count lookups); the chains themselves prove the
+padding, sponge/Merkle-Damgard chaining and the gate-level permutations
+(chains need n_bits >= 18 for a gate slot).  Main memAlignRD/WR/WR8 rows
+bind operand limb tuples to the MemAlign SM blocks (mem_align_sm).
+EC arith equations eq1-5 remain host-verified by the executor in this
+round.
 """
 
 from __future__ import annotations
@@ -39,8 +44,8 @@ import numpy as np
 
 from ...stark.air import AirBuilder, Const
 from . import (arith_sm, binary_sm, climb_key_sm, keccak_chain_sm,
-               main_sm_air, memory_sm, padding_pg_sm, poseidon_g_sm,
-               storage_sm)
+               main_sm_air, mem_align_sm, memory_sm, padding_pg_sm,
+               poseidon_g_sm, sha_chain_sm, storage_sm)
 
 
 @dataclasses.dataclass
@@ -54,15 +59,21 @@ class ZkevmLayout:
     climb_key: Optional[climb_key_sm.ClimbKeyLayout] = None
     padding_pg: Optional[padding_pg_sm.PaddingPGLayout] = None
     keccak: Optional[keccak_chain_sm.KeccakChainLayout] = None
+    sha: Optional[sha_chain_sm.ShaChainLayout] = None
+    mem_align: Optional[mem_align_sm.MemAlignLayout] = None
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
           n_queries: int = 8, start_label: str = "start",
           stop_label: str = "finalizeExecution", storage_rom=None,
-          with_padding_pg: bool = True, with_keccak: bool = None):
-    # the keccak gate slot needs >153k rows (one 48-lane permutation)
+          with_padding_pg: bool = True, with_keccak: bool = None,
+          with_sha: bool = None):
+    # the keccak gate slot needs >153k rows (one 48-lane permutation);
+    # the sha256 slot needs >186k
     if with_keccak is None:
         with_keccak = n_bits >= 18
+    if with_sha is None:
+        with_sha = n_bits >= 18
     b = AirBuilder("zkevm", n_bits, n_queries=n_queries, fri_fold_bits=3)
     main = main_sm_air.build(b, rom, n_bits, start_label, stop_label)
     binl = binary_sm.build(b, n_bits, chunk_bits)
@@ -77,6 +88,9 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
         storage_sm.bind(b, storl, ckl, posl)
     ppl = padding_pg_sm.build(b, n_bits) if with_padding_pg else None
     kcl = keccak_chain_sm.build(b, n_bits) if with_keccak else None
+    scl = sha_chain_sm.build(b, n_bits) if with_sha else None
+    # memAlign factor table needs 2112 rows
+    mal = mem_align_sm.build(b, n_bits) if n_bits >= 12 else None
 
     mw, mf = main.witness, main.fixed
 
@@ -227,10 +241,64 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
         b.plookup(f_cols, t_cols, f_sel=mw["hashKDigest"],
                   t_sel=kw["lastHash"])
 
+    # ---- Main -> PaddingSha256 (hashS chain) -------------------------
+    if scl is not None:
+        sw = scl.ps.witness
+        f_cols = [mw["addr"], mw["HASHPOS"], mw["hashBytes"]] \
+            + [mw[f"op{j}"] for j in range(8)]
+        t_cols = [sw["addr"], scl.ps.pos_expr(), sw["crLen"]] \
+            + [sw[f"crV{j}"] for j in range(8)]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashS"] + mw["hashS1"],
+                  t_sel=sw["crLatch"])
+        b.plookup([mw["addr"], mw["op0"]], [sw["addr"], sw["len"]],
+                  f_sel=mw["hashSLen"], t_sel=sw["lastHash"])
+        # digest: op limbs are 32-bit big-endian sha words (op_j =
+        # word_{7-j}); incCounter block count drives cntSha256F
+        f_cols = [mw["addr"]] + [mw[f"op{j}"] for j in range(8)] \
+            + [mw["incCnt"]]
+        t_cols = [sw["addr"]] + [sw[f"hash{j}"] for j in range(8)] \
+            + [sw["incCounter"]]
+        b.plookup(f_cols, t_cols, f_sel=mw["hashSDigest"],
+                  t_sel=sw["lastHash"])
+
+    # ---- Main -> MemAlign --------------------------------------------
+    # One t-side tuple per 32-row block at its first row: the op kind,
+    # offset, and the five 256-bit operands as shifted-byte-sum limbs
+    # (v through the rotation accumulators).  C1..C7 bind to zero so the
+    # offset is exactly C (main_executor.cpp:4510-4521).
+    if mal is not None:
+        maw = mal.witness
+        t_cols = [maw["wr256"], maw["wr8"], maw["offset"]]
+        for col in ("inM0", "inM1"):
+            t_cols += [mal.m_limb(maw[col], j) for j in range(8)]
+        t_cols += [mal.v_limb(j) for j in range(8)]
+        for col in ("inW0", "inW1"):
+            t_cols += [mal.m_limb(maw[col], j) for j in range(8)]
+        t_cols += [Const(0)] * 7
+        zero8 = [Const(0)] * 8
+        a_limbs = [mw[f"A{j}"] for j in range(8)]
+        b_limbs = [mw[f"B{j}"] for j in range(8)]
+        op_limbs = [mw[f"op{j}"] for j in range(8)]
+        d_limbs = [mw[f"D{j}"] for j in range(8)]
+        e_limbs = [mw[f"E{j}"] for j in range(8)]
+        c_rest = [mw[f"C{j}"] for j in range(1, 8)]
+        ma_first = mal.fixed["FIRST"]
+        b.plookup([Const(0), Const(0), mw["C0"]] + a_limbs + b_limbs
+                  + op_limbs + zero8 + zero8 + c_rest,
+                  t_cols, f_sel=mw["memAlignRD"], t_sel=ma_first)
+        b.plookup([Const(1), Const(0), mw["C0"]] + a_limbs + b_limbs
+                  + op_limbs + d_limbs + e_limbs + c_rest,
+                  t_cols, f_sel=mw["memAlignWR"], t_sel=ma_first)
+        # WR8 leaves m1 untouched (w1 = m1; Main only checks D = w0)
+        b.plookup([Const(0), Const(1), mw["C0"]] + a_limbs + b_limbs
+                  + op_limbs + d_limbs + b_limbs + c_rest,
+                  t_cols, f_sel=mw["memAlignWR8"], t_sel=ma_first)
+
     air = b.compile()
     return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
                             poseidon=posl, storage=storl, climb_key=ckl,
-                            padding_pg=ppl, keccak=kcl)
+                            padding_pg=ppl, keccak=kcl, sha=scl,
+                            mem_align=mal)
 
 
 def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
@@ -248,6 +316,10 @@ def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
         padding_pg_sm.fill_fixed(layout.padding_pg, const_np)
     if layout.keccak is not None:
         keccak_chain_sm.fill_fixed(layout.keccak, const_np)
+    if layout.sha is not None:
+        sha_chain_sm.fill_fixed(layout.sha, const_np)
+    if layout.mem_align is not None:
+        mem_align_sm.fill_fixed(layout.mem_align, const_np)
     return const_np
 
 
@@ -285,6 +357,13 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     if layout.keccak is not None:
         keccak_chain_sm.expand_into(layout.keccak,
                                     list(required.padding_kk), cm1)
+    if layout.sha is not None:
+        sha_chain_sm.expand_into(layout.sha,
+                                 list(required.padding_sha), cm1)
+    if layout.mem_align is not None:
+        ma_actions = [mem_align_sm.MemAlignAction(op, m0, m1, off, v)
+                      for (op, m0, m1, off, v) in required.mem_align]
+        mem_align_sm.expand_into(layout.mem_align, ma_actions, cm1)
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
     return const_np, cm1, publics
