@@ -836,7 +836,7 @@ class MainExecutor:
             if a * b + c != (d << 256) + res:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"arithEq0 fails zkPC={line.zkpc}")
-            ctx.required.arith.append((0, a, b, c, d, res))
+            ctx.required.arith.append((0, a, b, c, d, 0, res))
             return
         SECP_P = 2 ** 256 - 2 ** 32 - 977
         BN_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
@@ -853,8 +853,11 @@ class MainExecutor:
             if e != x3 or res != y3:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"EC arith fails zkPC={line.zkpc}")
-            ctx.required.arith.append((1 if line.flag("arithEq1") else 2,
-                                       a, b, c, d, res))
+            # double substitutes x2 = x1, y2 = y1 (main_executor.cpp:3991)
+            if line.flag("arithEq1"):
+                ctx.required.arith.append((1, a, b, c, d, e, res))
+            else:
+                ctx.required.arith.append((2, a, b, a, b, e, res))
             return
         if line.flag("arithEq3"):   # Fp2 mul
             x3 = (a * c - b * d) % BN_P
@@ -868,7 +871,9 @@ class MainExecutor:
         if e != x3 or res != y3:
             raise ZkError(ZkResult.PROVER_ERROR,
                           f"BN254 Fp2 arith fails zkPC={line.zkpc}")
-        ctx.required.arith.append((3, a, b, c, d, res))
+        kind = 3 if line.flag("arithEq3") else (4 if line.flag("arithEq4")
+                                                else 5)
+        ctx.required.arith.append((kind, a, b, c, d, e, res))
 
     def _do_mem_align(self, ctx: Context, line: RomLine, op):
         """memAlign ops (main_executor.cpp:4484-4640): unaligned 256-bit

@@ -43,9 +43,9 @@ from typing import Optional
 import numpy as np
 
 from ...stark.air import AirBuilder, Const
-from . import (arith_sm, binary_sm, climb_key_sm, keccak_chain_sm,
-               main_sm_air, mem_align_sm, memory_sm, padding_pg_sm,
-               poseidon_g_sm, sha_chain_sm, storage_sm)
+from . import (arith_ec_sm, arith_sm, binary_sm, climb_key_sm,
+               keccak_chain_sm, main_sm_air, mem_align_sm, memory_sm,
+               padding_pg_sm, poseidon_g_sm, sha_chain_sm, storage_sm)
 
 
 @dataclasses.dataclass
@@ -61,6 +61,7 @@ class ZkevmLayout:
     keccak: Optional[keccak_chain_sm.KeccakChainLayout] = None
     sha: Optional[sha_chain_sm.ShaChainLayout] = None
     mem_align: Optional[mem_align_sm.MemAlignLayout] = None
+    arith_ec: Optional[arith_ec_sm.ArithEcLayout] = None
 
 
 def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
@@ -91,6 +92,7 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
     scl = sha_chain_sm.build(b, n_bits) if with_sha else None
     # memAlign factor table needs 2112 rows
     mal = mem_align_sm.build(b, n_bits) if n_bits >= 12 else None
+    ecl = arith_ec_sm.build(b, limb_bits, aril.fixed["RANGE_LIMB"])
 
     mw, mf = main.witness, main.fixed
 
@@ -294,11 +296,33 @@ def build(rom, n_bits: int = 16, chunk_bits: int = 4, limb_bits: int = 16,
                   + op_limbs + d_limbs + b_limbs + c_rest,
                   t_cols, f_sel=mw["memAlignWR8"], t_sel=ma_first)
 
+    # ---- Main -> Arith EC (eq1-5) -------------------------------------
+    # One binding tuple per 2L-row block at its first row: a kind tag
+    # (1=ECADD, 2=ECDBL, 3/4/5=BN254 mul/add/sub) plus the six 256-bit
+    # operands as limb recombinations.  ECDBL substitutes x2=A, y2=B.
+    t_cols = [ecl.kind_expr()]
+    for name in ("x1", "y1", "x2", "y2", "x3", "y3"):
+        t_cols += [ecl.limb32(name, j) for j in range(8)]
+    a_limbs = [mw[f"A{j}"] for j in range(8)]
+    b_limbs = [mw[f"B{j}"] for j in range(8)]
+    kind_f = (mw["arithEq1"] + mw["arithEq3"] * 3 + mw["arithEq4"] * 4
+              + mw["arithEq5"] * 5)
+    f_cols = [kind_f] + a_limbs + b_limbs \
+        + [mw[f"C{j}"] for j in range(8)] + [mw[f"D{j}"] for j in range(8)] \
+        + [mw[f"E{j}"] for j in range(8)] + [mw[f"op{j}"] for j in range(8)]
+    ec_sel = (mw["arithEq1"] + mw["arithEq3"] + mw["arithEq4"]
+              + mw["arithEq5"])
+    b.plookup(f_cols, t_cols, f_sel=ec_sel, t_sel=ecl.fixed["EC_FIRST"])
+    f_dbl = [Const(2)] + a_limbs + b_limbs + a_limbs + b_limbs \
+        + [mw[f"E{j}"] for j in range(8)] + [mw[f"op{j}"] for j in range(8)]
+    b.plookup(f_dbl, t_cols, f_sel=mw["arithEq2"],
+              t_sel=ecl.fixed["EC_FIRST"])
+
     air = b.compile()
     return air, ZkevmLayout(main=main, binary=binl, memory=meml, arith=aril,
                             poseidon=posl, storage=storl, climb_key=ckl,
                             padding_pg=ppl, keccak=kcl, sha=scl,
-                            mem_align=mal)
+                            mem_align=mal, arith_ec=ecl)
 
 
 def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
@@ -320,6 +344,7 @@ def fill_fixed(air, layout: ZkevmLayout) -> np.ndarray:
         sha_chain_sm.fill_fixed(layout.sha, const_np)
     if layout.mem_align is not None:
         mem_align_sm.fill_fixed(layout.mem_align, const_np)
+    arith_ec_sm.fill_fixed(layout.arith_ec, const_np)
     return const_np
 
 
@@ -340,9 +365,11 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
                    for (op, a, b, _res, _carry) in required.binary]
     binary_sm.expand_trace(layout.binary, bin_actions, cm1)
     memory_sm.expand_trace(layout.memory, list(required.memory), cm1)
-    eq0_actions = [(a, b, c) for (kind, a, b, c, _d, _res) in required.arith
+    eq0_actions = [(a, b, c) for (kind, a, b, c, *_rest) in required.arith
                    if kind == 0]
     arith_sm.expand_trace(layout.arith, eq0_actions, cm1)
+    ec_actions = [act for act in required.arith if act[0] != 0]
+    arith_ec_sm.expand_into(layout.arith_ec, ec_actions, cm1)
 
     pg_actions = [list(r) for r in required.poseidon]
     if layout.storage is not None:
