@@ -92,3 +92,24 @@ def test_groth16_final_roundtrip(inner):
     bad = list(pubs)
     bad[0] = (bad[0] + 1) % groth16.R
     assert not groth16.verify(vk, g_proof, bad)
+
+
+@pytest.mark.slow
+def test_cascade_finalize_groth16_wrap(inner):
+    """The full last hop from the recursion stack: batch proof ->
+    recursive1 -> RecursiveF (bn128 STARK) -> final R1CS witness check
+    (snark=False skips the Groth16 MSMs: device MSM is the planned
+    accelerator; the Groth16 hop itself is covered by
+    test_groth16_final_roundtrip on the direct bn128 proof).  ~12 min."""
+    from xlayer_prover_tpu.recursion.stack import RecursionStack
+    air, setup, const_np, cm1_np, _p = inner
+    # a gl-scheme copy of the same air for the batch/recursion stages
+    gl_air = fib.build_air(n_bits=4, n_queries=2)
+    c2, cm2, p2 = fib.gen_trace(gl_air)
+    s2 = prover.Setup.build(gl_air, c2)
+    proof = prover.gen_proof(s2, cm2, p2)
+    stack = RecursionStack(gl_air, s2.verkey, n_queries=2)
+    out = stack.finalize(proof, wrap="groth16", snark=False)
+    assert out["final"] == "r1cs"
+    assert out["n_constraints"] > 100_000
+    assert out["publics"][:2] == [1, 1]

@@ -23,10 +23,9 @@ per-step fill of main_executor.cpp:297-320):
     label (the reference instead relies on the ROM's own finalizeExecution
     wait loop closing the 2^23 cycle).
 
-Storage (sRD/sWR), hash chains (hashK/P/S), memAlign and Binary/Memory/
-Arith-eq0 all bind through their own SM circuits (zkevm_air).
-Out-of-circuit in this version (documented scope): EC arith equations
-eq1-5 (host-checked by the executor).
+Storage (sRD/sWR), hash chains (hashK/P/S), memAlign, Binary/Memory,
+Arith eq0 and the EC arith equations (eq1-5) all bind through their own
+SM circuits (zkevm_air).
 """
 
 from __future__ import annotations

@@ -30,9 +30,9 @@ PaddingKK->KeccakF / PaddingSha256->Sha256F chain circuits (data access,
 length, digest + block-count lookups); the chains themselves prove the
 padding, sponge/Merkle-Damgard chaining and the gate-level permutations
 (chains need n_bits >= 18 for a gate slot).  Main memAlignRD/WR/WR8 rows
-bind operand limb tuples to the MemAlign SM blocks (mem_align_sm).
-EC arith equations eq1-5 remain host-verified by the executor in this
-round.
+bind operand limb tuples to the MemAlign SM blocks (mem_align_sm); Main
+arithEq1-5 rows bind (kind, operands) tuples to the Arith EC circuit
+(arith_ec_sm) — with these, every Main operation class is circuit-bound.
 """
 
 from __future__ import annotations

@@ -258,12 +258,15 @@ class ProverService:
 
     def _gen_final_proof(self, req: ProverRequest):
         """Final wrap (reference genFinalProof, prover.cpp:827-980): verify
-        the aggregate and re-prove it through the final recursion layer.
-        The Groth16/BN254 wrap over the recursiveF commitment stack follows
-        as that stack lands (snark/groth16.py is the engine)."""
+        the aggregate, re-prove it through RecursiveF (BN254 commitment
+        stack) and wrap in Groth16 via the final verifier R1CS when
+        wrap="groth16" is requested (default configurable)."""
         inner = req.payload["proof"]
         stack = self._recursion_stack(req.payload.get("circuit", "batch"))
-        req.proof = {"final": stack.finalize(inner)}
+        wrap = req.payload.get("wrap", getattr(self, "final_wrap", "stark"))
+        snark = req.payload.get("snark", True)
+        out = stack.finalize(inner, wrap=wrap, snark=snark)
+        req.proof = out if isinstance(out, dict) else {"final": out}
 
     def _recursion_stack(self, circuit: str):
         if getattr(self, "_rstack", None) is None:

@@ -36,9 +36,11 @@ class _Engine:
         return stark_verifier.verify(self.air, self.setup.verkey, proof)
 
 
-def _build(tracer: Tracer, n_queries: int, n_bits: Optional[int]):
+def _build(tracer: Tracer, n_queries: int, n_bits: Optional[int],
+           scheme: str = "gl"):
     air, layout = gate_air.build(tracer, n_bits=n_bits,
                                  n_queries=n_queries)
+    air.scheme = scheme
     n = air.n
     const_np = np.zeros((n, air.const_width), dtype=np.uint64)
     gate_air.fill_fixed(layout, const_np)
@@ -50,7 +52,7 @@ class Recursive1:
     """Wrap one inner proof: prove that the inner verifier accepts it."""
 
     def __init__(self, inner_air, inner_verkey, n_queries: int = 8,
-                 n_bits: Optional[int] = None):
+                 n_bits: Optional[int] = None, scheme: str = "gl"):
         self.inner_air = inner_air
         self.inner_verkey = list(inner_verkey)
         tracer = Tracer()
@@ -58,7 +60,8 @@ class Recursive1:
         for p in self._pw.publics:
             tracer.mark_public(p)
         self.tracer = tracer
-        self.air, self.layout, self.setup = _build(tracer, n_queries, n_bits)
+        self.air, self.layout, self.setup = _build(tracer, n_queries, n_bits,
+                                                   scheme)
 
     @property
     def verkey(self):
@@ -112,3 +115,15 @@ class Recursive2:
 
     def verify(self, proof):
         return stark_verifier.verify(self.air, self.setup.verkey, proof)
+
+
+class RecursiveF(Recursive1):
+    """Recursive1 over the BN128 commitment stack (starkRecursiveF.cpp):
+    the same verifier-as-gate-circuit, committed with Poseidon-BN254
+    arity-16 Merkle trees + TranscriptBN128, so the output proof is cheap
+    to verify inside the BN254 final circuit (snark/final_circuit.py)."""
+
+    def __init__(self, inner_air, inner_verkey, n_queries: int = 8,
+                 n_bits: Optional[int] = None):
+        super().__init__(inner_air, inner_verkey, n_queries=n_queries,
+                         n_bits=n_bits, scheme="bn128")

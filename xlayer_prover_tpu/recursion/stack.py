@@ -19,7 +19,7 @@ import dataclasses
 from typing import Dict
 
 from ..utils.log import zklog
-from .engine import Recursive1, Recursive2
+from .engine import Recursive1, Recursive2, RecursiveF
 
 
 @dataclasses.dataclass
@@ -82,9 +82,56 @@ class RecursionStack:
             return self.rec1().verify(rp.proof)
         return self.agg_engine(rp.level).verify(rp.proof)
 
-    def finalize(self, proof):
-        """Final-stage packaging: verify and return the terminal proof
-        (the Groth16/recursiveF wrap extends here)."""
+    def finalize(self, proof, wrap: str = "stark", snark: bool = True,
+                 rng=None):
+        """Final-stage packaging (reference genFinalProof,
+        prover.cpp:827-980).
+
+        wrap="stark": verify and return the terminal recursive proof.
+        wrap="groth16": re-prove through RecursiveF (the same verifier
+        circuit over BN254 Poseidon commitments), express ITS verifier as
+        a BN254-Fr R1CS (snark/final_circuit.py) and Groth16-prove it —
+        the on-chain object.  ``snark=False`` stops after the R1CS
+        witness check (the Groth16 MSMs dominate wall-clock; device MSM
+        is the planned accelerator).
+        """
         rp = self.lift(proof)
         assert self.verify(rp)
-        return rp
+        if wrap == "stark":
+            return rp
+
+        assert wrap == "groth16", wrap
+        from ..snark import final_circuit
+        if rp.level == 1:
+            inner = self.rec1()
+        else:
+            inner = self.agg_engine(rp.level)
+        key = ("recF", rp.level)
+        eng = self._agg.get(key)
+        if eng is None:
+            zklog.info("recursion: building recursiveF circuit")
+            eng = RecursiveF(inner.air, inner.verkey,
+                             n_queries=self.n_queries)
+            self._agg[key] = eng
+        bn_proof = eng.prove(rp.proof)
+        r1cs, witness, _fb = final_circuit.build_final_circuit(
+            eng.air, eng.setup.verkey, bn_proof)
+        pubs = witness[1:1 + r1cs.n_public]
+        if not snark:
+            from ..snark.r1cs import check_witness
+            assert check_witness(r1cs, witness)
+            return {"final": "r1cs", "n_constraints": len(r1cs.constraints),
+                    "publics": pubs}
+        from ..snark import groth16
+        g16_key = ("g16", rp.level)
+        pkvk = self._agg.get(g16_key)
+        if pkvk is None:
+            zklog.info(f"recursion: Groth16 setup over "
+                       f"{len(r1cs.constraints)} constraints")
+            pkvk = groth16.setup(r1cs, rng=rng)
+            self._agg[g16_key] = pkvk
+        pk, vk = pkvk
+        g_proof = groth16.prove(pk, r1cs, witness, rng=rng)
+        assert groth16.verify(vk, g_proof, pubs)
+        return {"final": "groth16", "proof": g_proof, "vk": vk,
+                "publics": pubs}
