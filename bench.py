@@ -51,7 +51,10 @@ def _device_bench():
         """Output-dependent scalar pulled to host: forces execution."""
         return int(jax.device_get(tiny(arr)))
 
-    # Transfer RTT baseline (subtracted from each section once).
+    # Transfer RTT baseline (subtracted from each section once).  The
+    # tunnel RTT can reach hundreds of ms, so every section adapts its
+    # rep count until compute dominates RTT (>= 10x), instead of trusting
+    # a single subtraction.
     probe = jnp.arange(16, dtype=jnp.uint32)
     jax.block_until_ready(probe)
     t0 = time.perf_counter()
@@ -59,6 +62,21 @@ def _device_bench():
     rtt = time.perf_counter() - t0
 
     out = {"forced": True, "rtt_ms": round(rtt * 1e3, 3)}
+
+    def timed_chain(step, state, min_reps=4, max_reps=512):
+        """Serial-chained reps until total >= 10x RTT; returns (dt_per_rep,
+        state).  Execution is forced by an output-dependent device_get."""
+        reps = min_reps
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state = step(state)
+            force(state[0] if isinstance(state, tuple) else state)
+            total = time.perf_counter() - t0
+            if total - rtt >= 10 * rtt or reps >= max_reps:
+                return max(total - rtt, 1e-9) / reps, state
+            scale = max(2, int(10 * rtt / max(total - rtt, 1e-4)))
+            reps = min(max_reps, reps * scale)
 
     def partial():
         # emit progress so the parent can use completed sections even if a
@@ -73,11 +91,7 @@ def _device_bench():
     ntt_step = jax.jit(lambda v: ntt.ntt(v, n_bits))
     x = ntt_step(x)
     force(x)                               # compile + warm + force
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = ntt_step(x)                    # serial chain defeats caching
-    force(x)
-    dt = max((time.perf_counter() - t0 - rtt), 1e-9) / reps
+    dt, x = timed_chain(ntt_step, x)       # serial chain defeats caching
     elems = n * n_cols
     ntt_eps = elems / dt
     bytes_moved = (n_bits + 1) * elems * 8 * 2   # r+w per stage + gather
@@ -99,23 +113,24 @@ def _device_bench():
 
     y, d = hash_step(y, gl.zeros((m, 4)))
     force(d)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y, d = hash_step(y, d)
-    force(d)
-    dt_m = max((time.perf_counter() - t0 - rtt), 1e-9) / reps
-    out["poseidon_Mhashes_per_s"] = round(m / dt_m / 1e6, 3)
+    dt_m, (y, d) = timed_chain(lambda s: hash_step(*s), (y, d))
+    # speed of light: 12 GL lanes r+w per hash over HBM
+    pos_sol = 819e9 / (12 * 8 * 2)
+    pos_rate = m / dt_m
+    out["poseidon_Mhashes_per_s"] = round(pos_rate / 1e6, 3)
+    out["poseidon_vs_sol"] = round(pos_rate / pos_sol, 4)
     partial()
 
     # --- full Merkle tree build 2^16 x 8 --------------------------------
-    tree_root = jax.jit(lambda v: merkle._build_levels(v, m_cols)[-1])
-    force(tree_root(y))
-    y2 = gl.from_u64_np(rng.integers(0, gl.P, size=(m, m_cols),
-                                     dtype=np.uint64))
-    t0 = time.perf_counter()
-    force(tree_root(y2))
-    out["merkle_tree_2e16_ms"] = round(max(time.perf_counter() - t0 - rtt, 1e-9)
-                                       * 1e3, 2)
+    @jax.jit
+    def tree_step(rows):
+        root = merkle._build_levels(rows, m_cols)[-1]
+        return rows.at[:, :4].set(gl.add(rows[:, :4], root)), root
+
+    _r, _ = tree_step(y)
+    force(_r)
+    dt_t, _ = timed_chain(lambda s: tree_step(s[0]), (y, None))
+    out["merkle_tree_2e16_ms"] = round(dt_t * 1e3, 2)
     partial()
 
     # --- proof polynomial pipeline: 2^20 x 16, LDE->Merkle->fold ---------
@@ -263,6 +278,11 @@ def main():
     # estimate means execution was not actually captured.
     if dev.get("ntt_vs_sol", 0) > 1.5:
         forced = False
+    for k, gate in (("poseidon_vs_sol", "poseidon_Mhashes_per_s"),
+                    ("pipeline_vs_sol", "pipeline_2e20x16_ms")):
+        if dev.get(k, 0) > 1.5:
+            dev.pop(gate, None)
+            dev.pop(k, None)
 
     line = {
         "metric": "goldilocks_ntt_2e20x4_throughput",
@@ -271,8 +291,9 @@ def main():
         "vs_baseline": dev.get("ntt_vs_sol"),
         "forced": bool(forced),
     }
-    for k in ("ntt_ms", "poseidon_Mhashes_per_s", "merkle_tree_2e16_ms",
-              "pipeline_2e20x16_ms", "pipeline_vs_sol", "rtt_ms"):
+    for k in ("ntt_ms", "poseidon_Mhashes_per_s", "poseidon_vs_sol",
+              "merkle_tree_2e16_ms", "pipeline_2e20x16_ms",
+              "pipeline_vs_sol", "rtt_ms"):
         if k in dev:
             line[k] = dev[k]
     line["executor_steps_per_s"] = _executor_bench()

@@ -39,19 +39,32 @@ P = 0xFFFFFFFF00000001
 
 
 class _HostEval:
-    """Row-wise evaluation of an Expr over the base domain (numpy)."""
+    """Row-wise evaluation of an Expr over the base domain (numpy).
 
-    def __init__(self, n, const_np, cm1_np, publics, challenges):
+    cm3 im columns (air.im_defs degree-lowering commits) are inlined back
+    to their defining expressions so a (const, cm1) trace suffices."""
+
+    def __init__(self, n, const_np, cm1_np, publics, challenges,
+                 im_defs=None):
         self.n = n
         self.sections = {"const": const_np, "cm1": cm1_np}
         self.publics = publics
         self.challenges = challenges
+        self.im_defs = {col.index: expr for col, expr in (im_defs or [])}
         self._l1 = np.zeros(n, dtype=np.uint64)
         self._l1[0] = 1
         self._cache = {}
 
     def eval(self, e):
         if isinstance(e, Col):
+            if e.section == "cm3":
+                from xlayer_prover_tpu.stark.air import _shift_expr
+                expr = self.im_defs.get(e.index)
+                if expr is None:
+                    raise KeyError(f"cm3 col {e.index} is not an im pol")
+                for _ in range(int(e.shift)):
+                    expr = _shift_expr(expr)
+                return self.eval(expr)
             key = (e.section, e.index, int(e.shift))
             v = self._cache.get(key)
             if v is None:
@@ -86,7 +99,8 @@ def check_trace(air: Air, const_np, cm1_np, publics, verbose=True,
     everything checkable host-side)."""
     rng = np.random.default_rng(seed)
     challenges = [int(rng.integers(1, 1 << 62)) for _ in range(8)]
-    ev = _HostEval(air.n, const_np, cm1_np, list(publics or []), challenges)
+    ev = _HostEval(air.n, const_np, cm1_np, list(publics or []), challenges,
+                   im_defs=getattr(air, "im_defs", None))
     failures = []
 
     for i, c in enumerate(air.constraints):

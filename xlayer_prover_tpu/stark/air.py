@@ -152,12 +152,18 @@ def expr_cols(e: Expr, out=None):
 
 @dataclasses.dataclass
 class PlookupCtx:
-    """f must be a sub-multiset of t. h1/h2/z live in cm2/cm3 sections."""
+    """f must be a sub-multiset of t. h1/h2/z live in cm2/cm3 sections.
+
+    f_im/t_im: committed copies of the compressed selectors (im pols, the
+    pil-stark imPols pattern) so the Z recurrence stays degree 3; their
+    defining constraints live in air.constraints via air.im_defs."""
     f_exp: Expr
     t_exp: Expr
     h1_col: Col = None
     h2_col: Col = None
     z_col: Col = None
+    f_im: Col = None
+    t_im: Col = None
 
 
 @dataclasses.dataclass
@@ -165,6 +171,8 @@ class PermutationCtx:
     f_exp: Expr
     t_exp: Expr
     z_col: Col = None
+    f_im: Col = None
+    t_im: Col = None
 
 
 @dataclasses.dataclass
@@ -228,6 +236,9 @@ class Air:
     publics_map: list          # [(section, col_index, row)]
     ev_map: list               # [EvMapEntry] built at compile
     scheme: str = "gl"         # commitment scheme: "gl" | "bn128"
+    im_defs: list = dataclasses.field(default_factory=list)
+    # ^ [(cm3 Col, Expr)]: auto-committed intermediate pols capping every
+    #   constraint at degree 3 (blowup 2x); the prover fills them on H
 
     @property
     def n(self):
@@ -245,6 +256,51 @@ class Air:
         """Leaf widths of the 5 query trees: cm1..cm4, const."""
         return [self.cm1_width, self.cm2_width, self.cm3_width,
                 self.cm4_width, self.const_width]
+
+
+def _substitute(e: Expr, memo: dict) -> Expr:
+    """Replace memoized nodes (id-keyed, identity-verified) by their im
+    columns, rebuilding only the affected spine."""
+    hit = memo.get(id(e))
+    if hit is not None and hit[0] is e:
+        return hit[1]
+    if isinstance(e, BinOp):
+        a = _substitute(e.a, memo)
+        b = _substitute(e.b, memo)
+        if a is e.a and b is e.b:
+            return e
+        return BinOp(e.op, a, b)
+    return e
+
+
+def _pick_node(e: Expr) -> Expr:
+    """Walk the maximal-degree path down to the first subexpression of
+    degree <= 3 (it has degree >= 2 by construction)."""
+    while expr_degree(e) > 3:
+        assert isinstance(e, BinOp)
+        da, db = expr_degree(e.a), expr_degree(e.b)
+        e = e.a if da >= db else e.b
+    assert expr_degree(e) >= 2
+    return e
+
+
+def _lower_constraints(constraints, new_im3):
+    """Cap every constraint at degree 3 by committing high-degree
+    subexpressions as im columns; shared subtrees (by identity) are
+    committed once.  Returns (lowered constraints, [(col, expr)])."""
+    memo = {}
+    defs = []
+    out = []
+    for c in constraints:
+        c = _substitute(c, memo)
+        while expr_degree(c) > 3:
+            node = _pick_node(c)
+            col = new_im3()
+            memo[id(node)] = (node, col)
+            defs.append((col, node))
+            c = _substitute(c, memo)
+        out.append(c)
+    return out, defs
 
 
 class AirBuilder:
@@ -370,6 +426,41 @@ class AirBuilder:
                     cm3_w += 3
             connections.append(ctx)
 
+        # ---- degree lowering (auto-committed im pols) -----------------
+        # cap every emitted constraint at degree 3 so the quotient needs
+        # only a 2x extension: commit the compressed lookup selectors and
+        # any high-degree identity subexpression as cm3 columns with
+        # defining constraints (the reference/pil-stark imPols pattern,
+        # here fully automatic).
+        im_defs = []
+        im_counter = [cm3_w]
+
+        def new_im3():
+            col = Col("cm3", im_counter[0], 3, name="im")
+            im_counter[0] += 3
+            return col
+
+        for pu in plookups:
+            if expr_degree(pu.f_exp) > 1:
+                pu.f_im = new_im3()
+                im_defs.append((pu.f_im, pu.f_exp))
+            if expr_degree(pu.t_exp) > 1:
+                pu.t_im = new_im3()
+                im_defs.append((pu.t_im, pu.t_exp))
+        for pe in permutations:
+            if expr_degree(pe.f_exp) > 2:
+                pe.f_im = new_im3()
+                im_defs.append((pe.f_im, pe.f_exp))
+            if expr_degree(pe.t_exp) > 2:
+                pe.t_im = new_im3()
+                im_defs.append((pe.t_im, pe.t_exp))
+
+        constraints, id_defs = _lower_constraints(self._constraints, new_im3)
+        im_defs.extend(id_defs)
+        for col, expr in im_defs:
+            constraints.append(BinOp("sub", col, expr))
+        cm3_w = im_counter[0]
+
         # Full constraint list (identity + argument constraints) is built by
         # the prover/verifier via `all_constraints`; the quotient degree needs
         # the max degree across them.
@@ -386,13 +477,14 @@ class AirBuilder:
             cm3_width=cm3_w,
             q_deg=1,
             q_dim=FIELD_EXTENSION,
-            constraints=list(self._constraints),
+            constraints=constraints,
             plookups=plookups,
             permutations=permutations,
             connections=connections,
             publics_map=list(self._publics),
             ev_map=[],
             scheme=self.scheme,
+            im_defs=im_defs,
         )
 
         max_deg = 1
@@ -447,7 +539,8 @@ def all_constraints(air: Air):
     out = list(air.constraints)
 
     for pu in air.plookups:
-        f, t = pu.f_exp, pu.t_exp
+        f = pu.f_im if pu.f_im is not None else pu.f_exp
+        t = pu.t_im if pu.t_im is not None else pu.t_exp
         h1, h2, z = pu.h1_col, pu.h2_col, pu.z_col
         h1p = h1.shifted()
         zp = z.shifted()
@@ -458,7 +551,8 @@ def all_constraints(air: Air):
         out.append(zp * den - z * num)     # recurrence
         out.append(l1 * (z - 1))           # boundary Z[0] = 1
     for pe in air.permutations:
-        f, t = pe.f_exp, pe.t_exp
+        f = pe.f_im if pe.f_im is not None else pe.f_exp
+        t = pe.t_im if pe.t_im is not None else pe.t_exp
         z = pe.z_col
         zp = z.shifted()
         out.append(zp * (t + gamma) - z * (f + gamma))

@@ -430,6 +430,21 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
                 finals.append(prev)
             z_triples.append((ci.z_col, finals[0], finals[1]))
 
+    # auto-committed degree-lowering ims (air.im_defs): evaluate on H
+    for (col, expr) in air.im_defs:
+        k, v = e.eval(expr)
+        if k == "base":
+            if host:
+                v = np.asarray(v, dtype=np.uint64) \
+                    + np.zeros(n, dtype=np.uint64)
+                triple = (v, np.zeros(n, dtype=np.uint64),
+                          np.zeros(n, dtype=np.uint64))
+            else:
+                triple = gl3.from_base(v)
+        else:
+            triple = v
+        im_fills.append((col, triple))
+
     cm3_n = gl.zeros((n, air.cm3_width))
     for (col, triple) in im_fills:
         if isinstance(triple[0], np.ndarray):
@@ -628,7 +643,8 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
                          for c in z)
 
         cm3_n = gl.zeros((n, air.cm3_width))
-        im_fills = []
+        for (col, expr) in air.im_defs:
+            cm3_n = _set_cols(cm3_n, col.index, env.eval_ext(expr))
         for pu in air.plookups:
             f, t = pu.f_exp, pu.t_exp
             h1c, h2c = pu.h1_col, pu.h2_col
