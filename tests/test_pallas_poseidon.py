@@ -23,3 +23,38 @@ def test_pallas_permute_matches(rng):
     for i in [0, 17, 77, batch - 1]:
         exp = _host_permute([int(v) for v in states[i]])
         assert [int(v) for v in got[i]] == exp, i
+
+
+def test_u32_pair_path_matches(rng):
+    """The pure-jnp u32-pair permutation (TPU fast path candidate) is
+    bit-exact vs the u64 XLA path."""
+    from xlayer_prover_tpu.ops.pallas_poseidon import permute_u32
+    states = rng.integers(0, gl.P, size=(64, 12), dtype=np.uint64)
+    got = np.asarray(permute_u32(gl.from_u64_np(states)))
+    exp = gl.to_u64_np(poseidon_gl.permute(gl.from_u64_np(states)))
+    assert np.array_equal(got, exp)
+
+
+def test_mxu_mds_layer_matches(rng):
+    """The MXU MDS layer (exact bf16 limb matmul + 8-bit carry composition
+    + Goldilocks reduction) is bit-exact vs a host MDS oracle.
+
+    Tested eagerly (no jit): the full permute_mxu graph triggers the known
+    CPU-XLA compile blowout, so the fused path is exercised on real TPU
+    only (bench.py)."""
+    from xlayer_prover_tpu.ops.pallas_poseidon import _mds_mxu, _tables
+    import jax.numpy as jnp
+    states = rng.integers(0, gl.P, size=(16, 12), dtype=np.uint64)
+    lo = jnp.asarray((states & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((states >> 32).astype(np.uint32))
+    olo, ohi = _mds_mxu(lo, hi)
+    got = np.asarray(olo).astype(np.uint64) \
+        | (np.asarray(ohi).astype(np.uint64) << 64 - 32)
+    _c, m, _f, _o = _tables()
+    P = gl.P
+    exp = np.zeros_like(states)
+    for r in range(states.shape[0]):
+        for j in range(12):
+            exp[r, j] = sum(int(states[r, i]) * int(m[i][j])
+                            for i in range(12)) % P
+    assert np.array_equal(got, exp)

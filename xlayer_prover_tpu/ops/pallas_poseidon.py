@@ -188,3 +188,207 @@ def permute(states_u64, interpret: bool = False, tile: int = TILE):
     )(slo, shi, clo, chi, mlo, mhi)
     return out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64)
                                         << jnp.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp u32-pair path (no Mosaic): the same limb arithmetic as the
+# kernel, structured as 3 lax.scans (full/partial/full rounds).  TPUs have
+# no native u64 lanes, so XLA emulates every u64 op pairwise; carrying
+# (lo, hi) u32 planes explicitly with 16-bit half-product multiplication
+# avoids that emulation on the hot path.
+# ---------------------------------------------------------------------------
+
+def _mds_u32(lo, hi, mlo, mhi):
+    acc_lo = acc_hi = None
+    for i in range(12):
+        p_lo, p_hi = _mul(lo[:, i:i + 1], hi[:, i:i + 1],
+                          mlo[i][None, :], mhi[i][None, :])
+        if acc_lo is None:
+            acc_lo, acc_hi = p_lo, p_hi
+        else:
+            acc_lo, acc_hi = _add(acc_lo, acc_hi, p_lo, p_hi)
+    return acc_lo, acc_hi
+
+
+@jax.jit
+def permute_u32(states_u64):
+    """(batch, 12) uint64 -> (batch, 12) uint64, u32-pair arithmetic."""
+    c_np, m_np, _, _ = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    mlo = jnp.asarray((m_np & 0xFFFFFFFF).astype(np.uint32))
+    mhi = jnp.asarray((m_np >> 32).astype(np.uint32))
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32)
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        lo, hi = _sbox(lo, hi)
+        return _mds_u32(lo, hi, mlo, mhi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        s_lo, s_hi = _sbox(lo[:, 0:1], hi[:, 0:1])
+        lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
+        hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
+        return _mds_u32(lo, hi, mlo, mhi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    lo, hi = st
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# MXU path: the MDS layer as an exact bf16 block-matmul.
+#
+# The 12x12 MDS multiply is where ~90% of the permutation's integer
+# multiplies live; on TPU the systolic array does it for free if the
+# arithmetic is exact: split every element into eight 8-bit limbs (bf16
+# holds 0..255 exactly), matmul against the limb-blocked MDS matrix with
+# f32 accumulation (per-entry sums < 2^23 < 2^24, exact), then carry-
+# compose the 15 output limb planes back into u32 pairs with one
+# Goldilocks reduction.  S-box rounds stay on the VPU in u32 pairs.
+# ---------------------------------------------------------------------------
+
+N_LIMB = 8          # 8-bit limbs per 64-bit element
+N_OUT = 15          # output limb planes (a + b convolutions)
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_mxu_matrix():
+    """(12*N_LIMB, 12*N_OUT) bf16 block matrix: big[(a*12+i), (k*12+j)] =
+    limb_{k-a}(M[i][j])."""
+    _c, m_np, _f, _o = _tables()
+    big = np.zeros((12 * N_LIMB, 12 * N_OUT), dtype=np.float32)
+    for i in range(12):
+        for j in range(12):
+            v = int(m_np[i][j])
+            for b in range(N_LIMB):
+                limb = (v >> (8 * b)) & 0xFF
+                if limb == 0:
+                    continue
+                for a in range(N_LIMB):
+                    big[a * 12 + i, (a + b) * 12 + j] = limb
+    return big
+
+
+def _to_limbs_bf16(lo, hi):
+    """(batch, 12) u32 pairs -> (batch, N_LIMB*12) bf16 8-bit limbs,
+    limb-major blocks [a*12 + i]."""
+    planes = []
+    for a in range(4):
+        planes.append((lo >> (8 * a)) & jnp.uint32(0xFF))
+    for a in range(4):
+        planes.append((hi >> (8 * a)) & jnp.uint32(0xFF))
+    return jnp.concatenate(planes, axis=1).astype(jnp.bfloat16)
+
+
+def _sub_pair(alo, ahi, blo, bhi):
+    """(a - b) mod p on u32 pairs (adds p on borrow)."""
+    lo = alo - blo
+    bw0 = (alo < blo).astype(jnp.uint32)
+    hi0 = ahi - bhi
+    bw1 = (ahi < bhi).astype(jnp.uint32)
+    hi = hi0 - bw0
+    bw2 = (hi0 < bw0).astype(jnp.uint32)
+    borrow = bw1 | bw2
+    # + p  (p = 2^64 - 2^32 + 1): lo += 1, hi += 0xFFFFFFFF
+    lo2 = lo + P_LO
+    c = (lo2 < lo).astype(jnp.uint32)
+    hi2 = hi + P_HI + c
+    lo = jnp.where(borrow == 1, lo2, lo)
+    hi = jnp.where(borrow == 1, hi2, hi)
+    return lo, hi
+
+
+def _from_out_limbs(out_f32):
+    """(batch, N_OUT*12) exact f32 limb sums -> reduced u32 pairs."""
+    b = out_f32.shape[0]
+    c_int = out_f32.astype(jnp.uint32)              # < 2^23, exact
+    c = c_int.reshape(b, N_OUT, 12)
+    # 8-bit carry composition over 17 byte columns
+    bytes_cols = []
+    carry = jnp.zeros((b, 12), dtype=jnp.uint32)
+    for mcol in range(N_OUT + 3):
+        s = carry
+        for j in range(3):
+            k = mcol - j
+            if 0 <= k < N_OUT:
+                s = s + ((c[:, k, :] >> (8 * j)) & jnp.uint32(0xFF))
+        bytes_cols.append(s & jnp.uint32(0xFF))
+        carry = s >> 8
+    # u32 digits n0..n4 (the tail carry is < 2^8 and lands in n4)
+    dig = []
+    for d in range(4):
+        v = bytes_cols[4 * d] \
+            | (bytes_cols[4 * d + 1] << 8) \
+            | (bytes_cols[4 * d + 2] << 16) \
+            | (bytes_cols[4 * d + 3] << 24)
+        dig.append(v)
+    n4 = bytes_cols[16] | (carry << 8)
+    n0, n1, n2, n3 = dig
+    # reduce n4*2^128 + n3*2^96 + n2*2^64 + (n1:n0)
+    #   2^64 ≡ 2^32 - 1,  2^96 ≡ -1,  2^128 ≡ -2^32
+    lo, hi = n0, n1
+    # + n2 * (2^32 - 1) = (n2 << 32) - n2
+    nz = (n2 != 0).astype(jnp.uint32)
+    lo, hi = _add(lo, hi, jnp.zeros_like(n2) - n2, n2 - nz)
+    # - n3
+    lo, hi = _sub_pair(lo, hi, n3, jnp.zeros_like(n3))
+    # - n4 * 2^32
+    lo, hi = _sub_pair(lo, hi, jnp.zeros_like(n4), n4)
+    return _cond_sub_p(lo, hi)
+
+
+def _mds_mxu(lo, hi):
+    limbs = _to_limbs_bf16(lo, hi)
+    big = jnp.asarray(_mds_mxu_matrix(), dtype=jnp.bfloat16)
+    out = jax.lax.dot_general(limbs, big,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return _from_out_limbs(out)
+
+
+@jax.jit
+def permute_mxu(states_u64):
+    """(batch, 12) uint64 -> (batch, 12): S-box on the VPU (u32 pairs),
+    MDS on the MXU (exact bf16 limb matmul)."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32)
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        lo, hi = _sbox(lo, hi)
+        return _mds_mxu(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        s_lo, s_hi = _sbox(lo[:, 0:1], hi[:, 0:1])
+        lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
+        hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
+        return _mds_mxu(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    lo, hi = st
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
