@@ -82,3 +82,135 @@ def poseidon_permute_batch(states: np.ndarray) -> np.ndarray:
     ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
     assert lib.poseidon_permute_batch(ptr, out.shape[0]) == 0
     return out
+
+
+# ---------------------------------------------------------------------------
+# BN254 MSM library (libmsm.so): Pippenger G1/G2 + fixed-base batches
+# ---------------------------------------------------------------------------
+
+_MSM_PATH = os.path.join(os.path.dirname(__file__), "libmsm.so")
+_msm_lib = None
+_M64 = (1 << 64) - 1
+_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+
+def _load_msm():
+    global _msm_lib
+    if _msm_lib is not None:
+        return _msm_lib
+    if not os.path.exists(_MSM_PATH):
+        return None
+    lib = ctypes.CDLL(_MSM_PATH)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    for name in ("msm_g1", "msm_g2", "fixed_base_g1", "fixed_base_g2"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+        fn.restype = None
+    _msm_lib = lib
+    return lib
+
+
+def msm_available() -> bool:
+    return _load_msm() is not None
+
+
+def _limbs_np(values, width):
+    arr = np.zeros((len(values), width), dtype=np.uint64)
+    for i, v in enumerate(values):
+        for k in range(width):
+            arr[i, k] = (v >> (64 * k)) & _M64
+    return arr
+
+
+def _from_limbs(arr, off):
+    return int(arr[off]) | (int(arr[off + 1]) << 64) \
+        | (int(arr[off + 2]) << 128) | (int(arr[off + 3]) << 192)
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def msm_g1(points_affine, scalars):
+    """Native Pippenger over G1; points: [(x, y) | None].  Returns a
+    Jacobian triple, or None when the library is absent."""
+    lib = _load_msm()
+    if lib is None:
+        return None
+    n = len(points_affine)
+    xs = [0 if p is None else p[0] for p in points_affine]
+    ys = [0 if p is None else p[1] for p in points_affine]
+    xy = np.zeros((n, 8), dtype=np.uint64)
+    xy[:, :4] = _limbs_np(xs, 4)
+    xy[:, 4:] = _limbs_np(ys, 4)
+    sc = _limbs_np([s % _FR for s in scalars], 4)
+    out = np.zeros(12, dtype=np.uint64)
+    lib.msm_g1(_ptr(xy), _ptr(sc), n, _ptr(out))
+    return (_from_limbs(out, 0), _from_limbs(out, 4), _from_limbs(out, 8))
+
+
+def msm_g2(points_affine, scalars):
+    """Native Pippenger over G2; points: [((x0,x1),(y0,y1)) | None].
+    Returns Jacobian ((x0,x1),(y0,y1),(z0,z1)) or None."""
+    lib = _load_msm()
+    if lib is None:
+        return None
+    n = len(points_affine)
+    xy = np.zeros((n, 16), dtype=np.uint64)
+    for i, p in enumerate(points_affine):
+        if p is None:
+            continue
+        (x0, x1), (y0, y1) = p
+        for k, v in enumerate((x0, x1, y0, y1)):
+            for m in range(4):
+                xy[i, k * 4 + m] = (v >> (64 * m)) & _M64
+    sc = _limbs_np([s % _FR for s in scalars], 4)
+    out = np.zeros(24, dtype=np.uint64)
+    lib.msm_g2(_ptr(xy), _ptr(sc), n, _ptr(out))
+    return ((_from_limbs(out, 0), _from_limbs(out, 4)),
+            (_from_limbs(out, 8), _from_limbs(out, 12)),
+            (_from_limbs(out, 16), _from_limbs(out, 20)))
+
+
+def fixed_base_g1(gen_affine, scalars):
+    """[(k_i * G) affine | None] for a batch of scalars; None if absent."""
+    lib = _load_msm()
+    if lib is None:
+        return None
+    n = len(scalars)
+    gen = np.zeros(8, dtype=np.uint64)
+    for k in range(4):
+        gen[k] = (gen_affine[0] >> (64 * k)) & _M64
+        gen[4 + k] = (gen_affine[1] >> (64 * k)) & _M64
+    sc = _limbs_np([s % _FR for s in scalars], 4)
+    out = np.zeros((n, 8), dtype=np.uint64)
+    lib.fixed_base_g1(_ptr(gen), _ptr(sc), n, _ptr(out))
+    res = []
+    for i in range(n):
+        x = _from_limbs(out[i], 0)
+        y = _from_limbs(out[i], 4)
+        res.append(None if x == 0 and y == 0 else (x, y))
+    return res
+
+
+def fixed_base_g2(gen_affine, scalars):
+    lib = _load_msm()
+    if lib is None:
+        return None
+    n = len(scalars)
+    gen = np.zeros(16, dtype=np.uint64)
+    (x0, x1), (y0, y1) = gen_affine
+    for k, v in enumerate((x0, x1, y0, y1)):
+        for m in range(4):
+            gen[k * 4 + m] = (v >> (64 * m)) & _M64
+    sc = _limbs_np([s % _FR for s in scalars], 4)
+    out = np.zeros((n, 16), dtype=np.uint64)
+    lib.fixed_base_g2(_ptr(gen), _ptr(sc), n, _ptr(out))
+    res = []
+    for i in range(n):
+        vals = [_from_limbs(out[i], 4 * k) for k in range(4)]
+        if all(v == 0 for v in vals):
+            res.append(None)
+        else:
+            res.append(((vals[0], vals[1]), (vals[2], vals[3])))
+    return res

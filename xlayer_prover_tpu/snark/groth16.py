@@ -115,6 +115,23 @@ def _g2(k: int):
     return g2_mul(G2_GEN, k % R)
 
 
+def _g1_batch(ks):
+    """[k*G affine] for many scalars (native fixed-base when built)."""
+    from ..native import fixed_base_g1
+    res = fixed_base_g1(G1_GEN, ks)
+    if res is not None:
+        return res
+    return [_g1(k) for k in ks]
+
+
+def _g2_batch(ks):
+    from ..native import fixed_base_g2
+    res = fixed_base_g2(G2_GEN, ks)
+    if res is not None:
+        return res          # None entries = infinity, same as _g2(0)
+    return [_g2(k) for k in ks]
+
+
 def _wire_polys_at_tau(r1cs: R1CS, tau: int, domain_bits: int):
     """A_j(tau), B_j(tau), C_j(tau) for every wire j via Lagrange weights."""
     m = 1 << domain_bits
@@ -122,12 +139,22 @@ def _wire_polys_at_tau(r1cs: R1CS, tau: int, domain_bits: int):
     # L_k(tau) = (tau^m - 1) * w^k / (m * (tau - w^k))
     tm = (pow(tau, m, R) - 1) % R
     minv = pow(m, R - 2, R)
-    lk = []
+    # batch inversion of the m denominators (Montgomery trick)
+    pows = []
     cur = 1
-    for k in range(m):
-        denom = (tau - cur) % R
-        lk.append(tm * cur % R * minv % R * pow(denom, R - 2, R) % R)
+    for _k in range(m):
+        pows.append(cur)
         cur = cur * w % R
+    denoms = [(tau - c) % R for c in pows]
+    prefix = [1] * (m + 1)
+    for k in range(m):
+        prefix[k + 1] = prefix[k] * denoms[k] % R
+    inv_all = pow(prefix[m], R - 2, R)
+    invs = [0] * m
+    for k in range(m - 1, -1, -1):
+        invs[k] = inv_all * prefix[k] % R
+        inv_all = inv_all * denoms[k] % R
+    lk = [tm * pows[k] % R * minv % R * invs[k] % R for k in range(m)]
     a_t = [0] * r1cs.n_wires
     b_t = [0] * r1cs.n_wires
     c_t = [0] * r1cs.n_wires
@@ -154,21 +181,24 @@ def setup(r1cs: R1CS, rng: Optional[object] = None):
     ginv = pow(gamma, R - 2, R)
     dinv = pow(delta, R - 2, R)
 
-    a_query = [_g1(v) for v in a_t]
-    b1_query = [_g1(v) for v in b_t]
-    b2_query = [_g2(v) for v in b_t]
-    c_query: list = []
-    ic = []
-    for j in range(r1cs.n_wires):
-        l_j = (beta * a_t[j] + alpha * b_t[j] + c_t[j]) % R
-        if j <= r1cs.n_public:
-            ic.append(_g1(l_j * ginv % R))
-            c_query.append(None)
-        else:
-            c_query.append(_g1(l_j * dinv % R))
+    a_query = _g1_batch(a_t)
+    b1_query = _g1_batch(b_t)
+    b2_query = _g2_batch(b_t)
+    l_scalars = [(beta * a_t[j] + alpha * b_t[j] + c_t[j]) % R
+                 for j in range(r1cs.n_wires)]
+    ic_pts = _g1_batch([l_scalars[j] * ginv % R
+                        for j in range(r1cs.n_public + 1)])
+    c_pts = _g1_batch([l_scalars[j] * dinv % R
+                       for j in range(r1cs.n_public + 1, r1cs.n_wires)])
+    ic = list(ic_pts)
+    c_query = [None] * (r1cs.n_public + 1) + list(c_pts)
     t_tau = (pow(tau, m, R) - 1) % R
-    h_query = [_g1(pow(tau, i, R) * t_tau % R * dinv % R)
-               for i in range(m - 1)]
+    h_scalars = []
+    cur = t_tau * dinv % R
+    for _i in range(m - 1):
+        h_scalars.append(cur)
+        cur = cur * tau % R
+    h_query = _g1_batch(h_scalars)
 
     pk = ProvingKey(n_public=r1cs.n_public, n_wires=r1cs.n_wires,
                     domain_bits=domain_bits,
@@ -215,6 +245,10 @@ def _msm(points, scalars):
              if p is not None and s % R]
     if not pairs:
         return None
+    from ..native import msm_g1 as native_msm_g1
+    jac = native_msm_g1([p for p, _ in pairs], [s for _, s in pairs])
+    if jac is not None:
+        return g1_to_affine(jac)
     return g1_to_affine(bn254.msm([p for p, _ in pairs],
                                   [s for _, s in pairs]))
 
@@ -242,14 +276,23 @@ def prove(pk: ProvingKey, r1cs: R1CS, witness: List[int],
     a_aff = g1_to_affine(a_pt)
 
     # B in G2
+    from ..fields.bn254_tower import fq2_inv, fq2_mul, fq2_sqr, g2_add
+    from ..native import msm_g2 as native_msm_g2
+    b2_pairs = [(p, s % R) for p, s in zip(pk.b2_query, witness)
+                if p is not None and s % R]
     b2_acc = None
-    for p, s in zip(pk.b2_query, witness):
-        if p is None or s % R == 0:
-            continue
-        from ..fields.bn254_tower import g2_add
-        term = g2_mul(p, s)
-        b2_acc = term if b2_acc is None else g2_add(b2_acc, term)
-    from ..fields.bn254_tower import g2_add
+    jac2 = native_msm_g2([p for p, _ in b2_pairs],
+                         [s for _, s in b2_pairs]) if b2_pairs else None
+    if jac2 is not None:
+        x2, y2, z2 = jac2
+        if z2 != (0, 0):
+            zi = fq2_inv(z2)
+            zi2 = fq2_sqr(zi)
+            b2_acc = (fq2_mul(x2, zi2), fq2_mul(y2, fq2_mul(zi2, zi)))
+    else:
+        for p, s in b2_pairs:
+            term = g2_mul(p, s)
+            b2_acc = term if b2_acc is None else g2_add(b2_acc, term)
     b_pt = g2_add(b2_acc, g2_add(pk.beta2, g2_mul(pk.delta2, s_blind)))
 
     # B in G1 (for C)
