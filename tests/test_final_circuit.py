@@ -96,11 +96,12 @@ def test_groth16_final_roundtrip(inner):
 
 @pytest.mark.slow
 def test_cascade_finalize_groth16_wrap(inner):
-    """The full last hop from the recursion stack: batch proof ->
-    recursive1 -> RecursiveF (bn128 STARK) -> final R1CS witness check
-    (snark=False skips the Groth16 MSMs: device MSM is the planned
-    accelerator; the Groth16 hop itself is covered by
-    test_groth16_final_roundtrip on the direct bn128 proof).  ~12 min."""
+    """The complete cascade: batch STARK -> recursive1 -> RecursiveF
+    (bn128 STARK) -> final verifier R1CS -> Groth16 proof, pairing-check
+    verified — the reference's batch -> ... -> SNARK path end-to-end
+    (~15 min; the Groth16 hop runs on the native MSM)."""
+    import random
+
     from xlayer_prover_tpu.recursion.stack import RecursionStack
     air, setup, const_np, cm1_np, _p = inner
     # a gl-scheme copy of the same air for the batch/recursion stages
@@ -109,7 +110,8 @@ def test_cascade_finalize_groth16_wrap(inner):
     s2 = prover.Setup.build(gl_air, c2)
     proof = prover.gen_proof(s2, cm2, p2)
     stack = RecursionStack(gl_air, s2.verkey, n_queries=2)
-    out = stack.finalize(proof, wrap="groth16", snark=False)
-    assert out["final"] == "r1cs"
-    assert out["n_constraints"] > 100_000
+    out = stack.finalize(proof, wrap="groth16", rng=random.Random(11))
+    assert out["final"] == "groth16"
+    assert groth16.verify(out["vk"], out["proof"], out["publics"])
+    # the inner fib publics survive to the SNARK statement
     assert out["publics"][:2] == [1, 1]

@@ -56,6 +56,14 @@ class _HostEval:
         self._cache = {}
 
     def eval(self, e):
+        hit = self._cache.get(id(e))
+        if hit is not None and hit[0] is e:
+            return hit[1]
+        v = self._eval(e)
+        self._cache[id(e)] = (e, v)
+        return v
+
+    def _eval(self, e):
         if isinstance(e, Col):
             if e.section == "cm3":
                 from xlayer_prover_tpu.stark.air import _shift_expr
