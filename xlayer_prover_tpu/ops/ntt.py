@@ -71,7 +71,27 @@ def _transform(a, nbits: int, inverse: bool):
         squeeze = True
     c = a.shape[1]
     tws = _twiddles(nbits, inverse)
-    for s in range(nbits):
+    # fused radix-4 stages: two butterfly levels per HBM pass
+    s = 0
+    while s + 1 < nbits:
+        h = n >> (s + 2)
+        blocks = 1 << s
+        x = a.reshape(blocks, 4, h, c)
+        p0, p1, p2, p3 = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+        tw1a = tws[s][None, :h, None]
+        tw1b = tws[s][None, h:, None]
+        tw2 = tws[s + 1][None, :, None]
+        u0 = gl.add(p0, p2)
+        u1 = gl.add(p1, p3)
+        v0 = gl.mul(gl.sub(p0, p2), tw1a)
+        v1 = gl.mul(gl.sub(p1, p3), tw1b)
+        y0 = gl.add(u0, u1)
+        y1 = gl.mul(gl.sub(u0, u1), tw2)
+        y2 = gl.add(v0, v1)
+        y3 = gl.mul(gl.sub(v0, v1), tw2)
+        a = jnp.stack([y0, y1, y2, y3], axis=1).reshape(n, c)
+        s += 2
+    if s < nbits:                       # odd tail: one radix-2 stage
         h = n >> (s + 1)
         blocks = 1 << s
         x = a.reshape(blocks, 2, h, c)
