@@ -91,11 +91,19 @@ class ExecutorServiceImpl:
             resp.fork_id = request.fork_id or 9
             self._fill_trace(resp, ctx)
             resp.error = pb.EXECUTOR_ERROR_NO_ERROR
-            self.flushes += 1
-            resp.flush_id = self.flushes
-            resp.stored_flush_id = self.stored_flush_id
-            self.hashdb.consolidate(uuid)
-            self.stored_flush_id = self.flushes
+            fid = self.hashdb.consolidate(uuid)
+            if isinstance(fid, tuple):
+                # CachedDB MultiWrite: real write-behind flush generations
+                st = self.hashdb.db.flush_status()
+                self.flushes = fid[0]
+                self.stored_flush_id = st["stored_flush_id"]
+                resp.flush_id = fid[0]
+                resp.stored_flush_id = st["stored_flush_id"]
+            else:
+                self.flushes += 1
+                resp.flush_id = self.flushes
+                resp.stored_flush_id = self.stored_flush_id
+                self.stored_flush_id = self.flushes
         except ZkError as e:
             zklog.error(f"executor service: {e}")
             self.hashdb.discard(uuid)
@@ -197,10 +205,18 @@ class ExecutorServiceImpl:
 
     def get_flush_status(self, request, context):
         resp = pb.GetFlushStatusResponse()
-        resp.stored_flush_id = self.stored_flush_id
-        resp.last_flush_id = self.flushes
-        resp.pending_to_flush_nodes = 0
-        resp.pending_to_flush_program = 0
+        if hasattr(self.hashdb.db, "flush_status"):
+            st = self.hashdb.db.flush_status()
+            resp.stored_flush_id = st["stored_flush_id"]
+            resp.storing_flush_id = st["storing_flush_id"]
+            resp.last_flush_id = st["last_flush_id"]
+            resp.pending_to_flush_nodes = st["pending_nodes"]
+            resp.pending_to_flush_program = st["pending_programs"]
+        else:
+            resp.stored_flush_id = self.stored_flush_id
+            resp.last_flush_id = self.flushes
+            resp.pending_to_flush_nodes = 0
+            resp.pending_to_flush_program = 0
         return resp
 
 

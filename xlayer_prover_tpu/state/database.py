@@ -78,3 +78,252 @@ class FileDB(MemoryDB):
     def flush(self):
         self._log.flush()
         os.fsync(self._log.fileno())
+
+
+# ---------------------------------------------------------------------------
+# Caches + write-behind MultiWrite (reference database_cache.hpp,
+# database_associative_cache.hpp, multi_write.hpp, database.hpp:107-131)
+# ---------------------------------------------------------------------------
+
+import threading
+from collections import OrderedDict
+
+
+class LRUCache:
+    """Byte-bounded LRU keyed by node hash (DatabaseMTCache semantics:
+    each entry costs key+value bytes against a global budget)."""
+
+    def __init__(self, max_bytes: int = 1 << 22):
+        self.max_bytes = max_bytes
+        self._d: "OrderedDict[Key, object]" = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _cost(value) -> int:
+        if isinstance(value, (bytes, bytearray)):
+            return 32 + len(value)
+        return 32 + 8 * len(value)
+
+    def get(self, key: Key):
+        v = self._d.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def put(self, key: Key, value):
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._bytes -= self._cost(old)
+        self._d[key] = value
+        self._bytes += self._cost(value)
+        while self._bytes > self.max_bytes and self._d:
+            _k, v = self._d.popitem(last=False)
+            self._bytes -= self._cost(v)
+
+    def __len__(self):
+        return len(self._d)
+
+
+class AssociativeCache:
+    """Direct-mapped cache indexed by Goldilocks-quad key bits
+    (DatabaseMTAssociativeCache: fixed footprint, overwrite on collision,
+    no eviction bookkeeping)."""
+
+    def __init__(self, index_bits: int = 16):
+        self.mask = (1 << index_bits) - 1
+        self._keys = [None] * (1 << index_bits)
+        self._vals = [None] * (1 << index_bits)
+        self.hits = 0
+        self.misses = 0
+
+    def _slot(self, key: Key) -> int:
+        return (key[0] ^ (key[1] << 1) ^ (key[2] << 2) ^ (key[3] << 3)) \
+            & self.mask
+
+    def get(self, key: Key):
+        s = self._slot(key)
+        if self._keys[s] == key:
+            self.hits += 1
+            return self._vals[s]
+        self.misses += 1
+        return None
+
+    def put(self, key: Key, value):
+        s = self._slot(key)
+        self._keys[s] = key
+        self._vals[s] = value
+
+
+class MultiWrite:
+    """Write-behind double buffer with flush-id generations
+    (multi_write.hpp + dbSenderThread, database.hpp:127-131): writes
+    accumulate in the pending generation; ``flush`` seals it and the
+    sender thread stores sealed generations to the backend in order."""
+
+    def __init__(self, backend):
+        self.backend = backend
+        self.lock = threading.Lock()
+        self.pending_nodes: Dict[Key, List[int]] = {}
+        self.pending_programs: Dict[Key, bytes] = {}
+        self.sealed: "OrderedDict[int, tuple]" = OrderedDict()
+        self.last_flush_id = 0
+        self.storing_flush_id = 0
+        self.stored_flush_id = 0
+        self._work = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._sender, daemon=True)
+        self._thread.start()
+
+    # -- producer side ---------------------------------------------------
+    def write(self, key: Key, value: List[int]):
+        with self.lock:
+            self.pending_nodes[key] = list(value)
+
+    def set_program(self, key: Key, data: bytes):
+        with self.lock:
+            self.pending_programs[key] = bytes(data)
+
+    def read_pending(self, key: Key):
+        with self.lock:
+            v = self.pending_nodes.get(key)
+            if v is not None:
+                return v
+            for _fid, (nodes, _programs) in reversed(self.sealed.items()):
+                if key in nodes:
+                    return nodes[key]
+        return None
+
+    def read_pending_program(self, key: Key):
+        with self.lock:
+            v = self.pending_programs.get(key)
+            if v is not None:
+                return v
+            for _fid, (_nodes, programs) in reversed(self.sealed.items()):
+                if key in programs:
+                    return programs[key]
+        return None
+
+    def flush(self) -> tuple:
+        """Seal the pending generation; returns (flush_id, stored_id)."""
+        with self.lock:
+            if self.pending_nodes or self.pending_programs:
+                self.last_flush_id += 1
+                self.sealed[self.last_flush_id] = (self.pending_nodes,
+                                                   self.pending_programs)
+                self.pending_nodes = {}
+                self.pending_programs = {}
+            self._work.set()
+            return self.last_flush_id, self.stored_flush_id
+
+    def get_flush_data(self, flush_id: int):
+        with self.lock:
+            return self.sealed.get(flush_id)
+
+    def status(self) -> dict:
+        with self.lock:
+            return {"last_flush_id": self.last_flush_id,
+                    "storing_flush_id": self.storing_flush_id,
+                    "stored_flush_id": self.stored_flush_id,
+                    "pending_nodes": len(self.pending_nodes),
+                    "pending_programs": len(self.pending_programs)}
+
+    def wait_stored(self, flush_id: int, timeout: float = 10.0) -> bool:
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            with self.lock:
+                if self.stored_flush_id >= flush_id:
+                    return True
+            _t.sleep(0.002)
+        return False
+
+    def close(self):
+        self._stop = True
+        self._work.set()
+        self._thread.join(timeout=5)
+
+    # -- sender thread -----------------------------------------------------
+    def _sender(self):
+        while True:
+            self._work.wait()
+            self._work.clear()
+            if self._stop:
+                return
+            while True:
+                with self.lock:
+                    if not self.sealed:
+                        break
+                    fid, (nodes, programs) = next(iter(self.sealed.items()))
+                    self.storing_flush_id = fid
+                for k, v in nodes.items():
+                    self.backend.write(k, v)
+                for k, d in programs.items():
+                    self.backend.set_program(k, d)
+                self.backend.flush()
+                with self.lock:
+                    self.sealed.pop(fid, None)
+                    self.stored_flush_id = fid
+
+
+class CachedDB:
+    """Backend wrapper with the reference's cache + write-behind stack:
+    associative cache -> LRU cache -> MultiWrite pending -> backend;
+    writes land in the caches immediately and persist asynchronously."""
+
+    def __init__(self, backend=None, mt_cache_bytes: int = 1 << 22,
+                 assoc_bits: int = 16, program_cache_bytes: int = 1 << 22):
+        self.backend = backend if backend is not None else MemoryDB()
+        self.mt_cache = LRUCache(mt_cache_bytes)
+        self.assoc = AssociativeCache(assoc_bits)
+        self.program_cache = LRUCache(program_cache_bytes)
+        self.multi_write = MultiWrite(self.backend)
+
+    def read(self, key: Key):
+        key = tuple(key)
+        v = self.assoc.get(key)
+        if v is not None:
+            return list(v)
+        v = self.mt_cache.get(key)
+        if v is None:
+            v = self.multi_write.read_pending(key)
+        if v is None:
+            v = self.backend.read(key)
+        if v is not None:
+            self.assoc.put(key, list(v))
+            self.mt_cache.put(key, list(v))
+            return list(v)
+        return None
+
+    def write(self, key: Key, value: List[int]):
+        key = tuple(key)
+        value = [int(v) for v in value]
+        self.assoc.put(key, value)
+        self.mt_cache.put(key, value)
+        self.multi_write.write(key, value)
+
+    def get_program(self, key: Key):
+        key = tuple(key)
+        v = self.program_cache.get(key)
+        if v is None:
+            v = self.multi_write.read_pending_program(key)
+        if v is None:
+            v = self.backend.get_program(key)
+        if v is not None:
+            self.program_cache.put(key, bytes(v))
+        return v
+
+    def set_program(self, key: Key, data: bytes):
+        key = tuple(key)
+        self.program_cache.put(key, bytes(data))
+        self.multi_write.set_program(key, data)
+
+    def flush(self):
+        return self.multi_write.flush()
+
+    def flush_status(self) -> dict:
+        return self.multi_write.status()

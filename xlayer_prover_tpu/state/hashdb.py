@@ -117,7 +117,7 @@ class HashDB:
             self.db.write(k, v)
         for k, d in store.programs.items():
             self.db.set_program(k, d)
-        self.db.flush()
+        return self.db.flush()   # CachedDB: (flush_id, stored_flush_id)
 
     def discard(self, batch_uuid: str):
         """Drop the whole batch overlay (cancelBatch)."""
