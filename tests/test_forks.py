@@ -1,0 +1,65 @@
+"""Fork dispatch: per-fork ROM bundles through one table-driven
+interpreter (reference executor.cpp:23-377 fork routing, SURVEY A.8).
+
+Forks 7 and 8 execute their reference e2e testvectors bit-exactly
+(state-root parity); unsupported forks are rejected at the service with
+EXECUTOR_ERROR_UNSUPPORTED_FORK_ID.
+"""
+
+import json
+import os
+
+import pytest
+
+from xlayer_prover_tpu.executor.forks import ForkRegistry
+from xlayer_prover_tpu.executor.input import BatchInput
+from xlayer_prover_tpu.executor.main_sm import Context, fea_to_scalar
+from xlayer_prover_tpu.state.hashdb import HashDB
+
+VEC = "/root/reference/testvectors/e2e/fork_{}/input_executor_0.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VEC.format(7)), reason="reference testvectors absent")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return ForkRegistry(max_steps=4_000_000)
+
+
+@pytest.mark.parametrize("fork", [7, 8])
+def test_fork_state_root_parity(registry, fork):
+    ex = registry.executor(fork)
+    assert ex is not None
+    inp = BatchInput.load(VEC.format(fork))
+    h = HashDB()
+    inp.load_db(h)
+    ctx = Context(ex.rom, h, input_vars=inp.input_vars())
+    inp.setup_registers(ctx)
+    ex.execute(ctx)
+    with open(VEC.format(fork)) as f:
+        raw = json.load(f)
+    assert ctx.done
+    assert fea_to_scalar(ctx.regs.SR) == int(raw["newStateRoot"], 16)
+    assert fea_to_scalar(ctx.regs.D) == int(raw["newAccInputHash"], 16)
+
+
+def test_old_forks_rejected(registry):
+    assert registry.executor(3) is None
+    assert not registry.supported(6)
+
+
+def test_service_fork_rejection():
+    from xlayer_prover_tpu.executor.executor import Executor
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.services.executor_service import \
+        ExecutorServiceImpl
+    from xlayer_prover_tpu.services.gen import executor_pb2 as pb
+    rom = Rom.from_json({"program": [{"CONST": 0}],
+                         "labels": {"start": 0, "finalizeExecution": 0},
+                         "constants": {}})
+    impl = ExecutorServiceImpl(Executor(rom, n_bits=11, max_steps=4),
+                               HashDB())
+    req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32, fork_id=3)
+    resp = impl.process_batch_v2(req, None)
+    assert resp.error == pb.EXECUTOR_ERROR_UNSUPPORTED_FORK_ID

@@ -69,13 +69,27 @@ class ExecutorServiceImpl:
         resp = pb.ProcessBatchResponseV2()
         uuid = request.context_id or f"pb-{id(request):x}-{self.flushes}"
         try:
+            from ..executor.forks import CURRENT_FORK, ForkRegistry
             from ..executor.full_tracer import FullTracer
             from ..executor.main_sm import Context as ExCtx
             input_vars = self._input_vars_from_request(request)
-            ctx = ExCtx(self.executor.rom, self.hashdb, uuid, input_vars)
-            ctx.full_tracer = FullTracer(self.executor.rom)
-            self.executor.main.execute(ctx, self.executor.start_label,
-                                       self.executor.stop_label)
+            fork_id = request.fork_id or CURRENT_FORK
+            if fork_id == CURRENT_FORK:
+                rom, main = self.executor.rom, self.executor.main
+            else:
+                # fork dispatch (reference executor.cpp:23-377): one
+                # table-driven interpreter, per-fork ROM bundles
+                if getattr(self, "_forks", None) is None:
+                    self._forks = ForkRegistry()
+                main = self._forks.executor(fork_id)
+                if main is None:
+                    resp.error = pb.EXECUTOR_ERROR_UNSUPPORTED_FORK_ID
+                    return resp
+                rom = main.rom
+            ctx = ExCtx(rom, self.hashdb, uuid, input_vars)
+            ctx.full_tracer = FullTracer(rom)
+            main.execute(ctx, self.executor.start_label,
+                         self.executor.stop_label)
             new_root = 0
             for i, limb in enumerate(ctx.regs.SR):
                 new_root |= int(limb) << (32 * i)
