@@ -87,6 +87,60 @@ def cmd_prove_toy(cfg: Config) -> int:
     return 0
 
 
+def cmd_gen_batch_proof(cfg: Config, input_path: str, rom_path=None,
+                        n_bits: int = 16) -> int:
+    """runFileGenBatchProof (reference main.cpp:594-701): prove a saved
+    batch input end-to-end, optionally dumping the committed trace
+    (zkevmCmPolsAfterExecutor) and the proof JSON."""
+    from .executor.input import BatchInput
+    from .executor.rom import Rom
+    from .prover_service import BatchProver
+    from .stark import verifier
+
+    rom = Rom.load(rom_path
+                   or "/root/reference/src/main_sm/fork_9/scripts/rom.json")
+    engine = BatchProver(rom, n_bits=n_bits, max_steps=1 << 22)
+    inp = BatchInput.load(input_path)
+    t0 = time.perf_counter()
+    res = engine.execute_only(inp)
+    t1 = time.perf_counter()
+    if cfg.zkevm_cm_pols_file:
+        BatchProver.save_cm_pols(cfg.zkevm_cm_pols_file, res)
+        zklog.info(f"saved committed trace to {cfg.zkevm_cm_pols_file}")
+    proof = engine.prove_from_trace(res.cm1_np, res.publics)
+    t2 = time.perf_counter()
+    verifier.verify(engine.air, engine.setup().verkey, proof)
+    out = {"execute_s": round(t1 - t0, 3), "prove_s": round(t2 - t1, 3),
+           "steps": res.ctx.counters.steps, "verified": True}
+    if cfg.save_proof_to_file:
+        dest = (cfg.save_proofs_dir or ".") + "/batch_proof.json"
+        with open(dest, "w") as f:
+            f.write(proof.to_json())
+        out["proof_file"] = dest
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_prove_from_cmpols(cfg: Config, path: str, rom_path=None,
+                          n_bits: int = 16) -> int:
+    """Resume proving from a saved committed trace without re-executing
+    (the reference's mmap'd zkevmCmPols re-run)."""
+    from .executor.rom import Rom
+    from .prover_service import BatchProver
+    from .stark import verifier
+
+    rom = Rom.load(rom_path
+                   or "/root/reference/src/main_sm/fork_9/scripts/rom.json")
+    engine = BatchProver(rom, n_bits=n_bits, max_steps=1 << 22)
+    cm1, publics = BatchProver.load_cm_pols(path)
+    t0 = time.perf_counter()
+    proof = engine.prove_from_trace(cm1, publics)
+    t1 = time.perf_counter()
+    verifier.verify(engine.air, engine.setup().verkey, proof)
+    print(json.dumps({"prove_s": round(t1 - t0, 3), "verified": True}))
+    return 0
+
+
 def cmd_run_services(cfg: Config) -> int:
     from .executor.executor import Executor
     from .prover_service import ProverService
@@ -129,6 +183,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="xlayer-prover-tpu")
     ap.add_argument("-c", "--config", default=None)
     ap.add_argument("--process-batch", metavar="INPUT_JSON")
+    ap.add_argument("--gen-batch-proof", metavar="INPUT_JSON")
+    ap.add_argument("--prove-from-cmpols", metavar="CMPOLS_NPZ")
+    ap.add_argument("--n-bits", type=int, default=16)
     ap.add_argument("--rom", default=None)
     ap.add_argument("--prove-toy", action="store_true")
     ap.add_argument("--run-services", action="store_true")
@@ -140,6 +197,12 @@ def main(argv=None) -> int:
 
     if args.process_batch:
         return cmd_process_batch(cfg, args.process_batch, args.rom)
+    if args.gen_batch_proof:
+        return cmd_gen_batch_proof(cfg, args.gen_batch_proof, args.rom,
+                                   args.n_bits)
+    if args.prove_from_cmpols:
+        return cmd_prove_from_cmpols(cfg, args.prove_from_cmpols, args.rom,
+                                     args.n_bits)
     if args.prove_toy:
         return cmd_prove_toy(cfg)
     if args.run_services or cfg.run_executor_server or cfg.run_aggregator_client:

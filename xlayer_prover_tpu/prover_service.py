@@ -95,18 +95,43 @@ class BatchProver:
             self._setup = stark_prover.Setup.build(self.air, const_np)
         return self._setup
 
-    def prove(self, batch_input, batch_uuid: str = "batch"):
-        """Run the batch and prove it.  Returns (StarkProof, Context)."""
+    def execute_only(self, batch_input, batch_uuid: str = "batch"):
+        """Witness generation only (the zkevmCmPolsAfterExecutor stage)."""
         from .state.hashdb import HashDB
         hashdb = HashDB()
         batch_input.load_db(hashdb)
-        res = self.executor.execute(
+        return self.executor.execute(
             hashdb, batch_uuid=batch_uuid,
             input_vars=batch_input.input_vars(),
             setup_registers=batch_input.setup_registers)
+
+    def prove_from_trace(self, cm1_np, publics):
+        """STARK over a previously committed trace (resume-without-
+        re-execution, the reference's mmap'd cmPols re-run path)."""
         setup = self.setup()
-        proof = stark_prover.gen_proof(setup, res.cm1_np, res.publics)
+        return stark_prover.gen_proof(setup, cm1_np, publics)
+
+    def prove(self, batch_input, batch_uuid: str = "batch"):
+        """Run the batch and prove it.  Returns (StarkProof, Context)."""
+        res = self.execute_only(batch_input, batch_uuid)
+        proof = self.prove_from_trace(res.cm1_np, res.publics)
         return proof, res.ctx
+
+    # -- artifact persistence (reference saveInput/Output/ProofToFile +
+    #    zkevmCmPolsAfterExecutor dumps, config.hpp:56-63,123) ----------
+    @staticmethod
+    def save_cm_pols(path: str, res):
+        import numpy as np
+        np.savez_compressed(path, cm1=res.cm1_np,
+                            publics=np.array([p % stark_prover.P
+                                              for p in res.publics],
+                                             dtype=np.uint64))
+
+    @staticmethod
+    def load_cm_pols(path: str):
+        import numpy as np
+        data = np.load(path)
+        return data["cm1"], [int(v) for v in data["publics"]]
 
 
 class ProverService:
@@ -115,11 +140,13 @@ class ProverService:
     def __init__(self, setup_registry: Optional[Dict[str, object]] = None,
                  cleaner_ttl_s: float = 600.0,
                  batch_prover: Optional[BatchProver] = None,
-                 recursion_queries: int = 8):
+                 recursion_queries: int = 8,
+                 artifacts_dir: str = ""):
         # name -> (air, Setup) pairs; "batch" is the batch-proof circuit
         self.setups: Dict[str, object] = setup_registry or {}
         self.batch_prover = batch_prover
         self.recursion_queries = recursion_queries
+        self.artifacts_dir = artifacts_dir
         self._rstack = {}
         self.requests: Dict[str, ProverRequest] = {}
         self._queue: "queue.Queue[str]" = queue.Queue()
@@ -178,6 +205,7 @@ class ProverService:
                     self._dispatch(req)
                 req.state = RequestState.COMPLETED
                 req.result = ZkResult.SUCCESS
+                self._save_artifact(req)
             except ZkError as e:
                 req.state = RequestState.FAILED
                 req.result = e.code
@@ -192,6 +220,31 @@ class ProverService:
                 req.done.set()
                 self._completed_at[req.uuid] = time.monotonic()
                 self._gc()
+
+    def _save_artifact(self, req: ProverRequest):
+        """Stage-output persistence (reference saveProofToFile,
+        prover.cpp:660-669): every completed proof is re-runnable /
+        auditable from disk."""
+        if not self.artifacts_dir:
+            return
+        import json as _json
+        import os as _os
+        _os.makedirs(self.artifacts_dir, exist_ok=True)
+        path = _os.path.join(self.artifacts_dir,
+                             f"{req.uuid}.{req.req_type.value}.proof.json")
+        proof = req.proof
+        try:
+            if hasattr(proof, "to_json"):
+                payload = proof.to_json()
+                if not isinstance(payload, str):
+                    payload = _json.dumps(payload, default=str)
+            else:
+                payload = _json.dumps(proof, default=str)
+            with open(path, "w") as f:
+                f.write(payload)
+            zklog.info(f"prover: saved proof artifact {path}")
+        except Exception as e:  # noqa: BLE001 - persistence is best-effort
+            zklog.warning(f"prover: artifact save failed: {e}")
 
     def _gc(self):
         cutoff = time.monotonic() - self._cleaner_ttl
