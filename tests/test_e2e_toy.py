@@ -63,3 +63,23 @@ def test_fib_no_arguments():
     setup = prover.Setup.build(air, const_np)
     proof = prover.gen_proof(setup, cm1_np, publics)
     assert verifier.verify(air, setup.verkey, proof)
+
+
+def test_proof_to_zkin_and_join(fib_setup):
+    """zkin export (proof2zkinStark/joinzkin naming) round-trips the
+    proof content into circom input-signal form."""
+    from xlayer_prover_tpu.stark.zkin import joinzkin, proof_to_zkin
+    air, setup, cm1_np, publics = fib_setup
+    proof = prover.gen_proof(setup, cm1_np, publics)
+    zkin = proof_to_zkin(air, proof)
+    assert zkin["root1"] == [str(v) for v in proof.roots[0]]
+    assert len(zkin["evals"]) == len(proof.evals)
+    assert len(zkin["s0_vals1"]) == air.n_queries
+    n_steps = len(proof.fri_steps)
+    for i in range(1, n_steps):
+        assert f"s{i}_root" in zkin and f"s{i}_vals" in zkin
+    assert len(zkin["finalPol"]) == len(proof.final_pol)
+    joined = joinzkin(zkin, zkin, setup.verkey, n_steps)
+    assert joined["a_root1"] == joined["b_root1"] == zkin["root1"]
+    assert joined["publics"] == zkin["publics"] * 2
+    assert joined["rootC"] == [str(v) for v in setup.verkey]
