@@ -61,3 +61,59 @@ def calculate_h1h2(f_vals: np.ndarray, t_vals: np.ndarray):
     h1 = t_vals[merged_idx[0::2]]
     h2 = t_vals[merged_idx[1::2]]
     return h1, h2
+
+
+# ---------------------------------------------------------------------------
+# Device multiset split (TPU): two lax.sorts + a segmented prefix-max.
+#
+# The host version pulls every compressed lookup column off the device
+# (40+ lookups x (N, 3) at zkEVM scale); this computes h1/h2 entirely
+# on-device:
+#   1) sort (t ++ f) lexicographically by value with t-before-f tie-break;
+#      within each equal-value run, forward-propagate the max t row index
+#      (= the LAST occurrence in t) with one cummax over run-tagged keys;
+#   2) assign each element its merged position key (t row i -> 2i, f copy
+#      matched to t row m -> 2m + 1) and sort once more; even positions
+#      are h1, odd are h2 — exactly Polinomial::calculateH1H2_'s merge.
+# ---------------------------------------------------------------------------
+
+def calculate_h1h2_device(f_vals, t_vals):
+    """f_vals/t_vals: (n, dim) uint64 DEVICE arrays.  Returns
+    (h1, h2, bad) device arrays; ``bad`` counts f rows missing from t
+    (callers aggregate and assert once)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, dim = t_vals.shape
+    assert f_vals.shape == (n, dim)
+    two_n = 2 * n
+
+    vals = jnp.concatenate([t_vals, f_vals], axis=0)
+    is_f = jnp.concatenate([jnp.zeros(n, jnp.uint64),
+                            jnp.ones(n, jnp.uint64)])
+    idx = jnp.concatenate([jnp.arange(n, dtype=jnp.uint64)] * 2)
+
+    ops = [vals[:, k] for k in range(dim)] + [is_f, idx]
+    srt = jax.lax.sort(tuple(ops), num_keys=dim + 1)
+    sv = jnp.stack(srt[:dim], axis=1)
+    s_isf = srt[dim]
+    s_idx = srt[dim + 1]
+
+    boundary = jnp.concatenate([
+        jnp.ones(1, dtype=jnp.uint64),
+        jnp.any(sv[1:] != sv[:-1], axis=1).astype(jnp.uint64)])
+    run_id = jnp.cumsum(boundary)                       # 1-based
+    big = jnp.uint64(two_n + 2)
+    t_idx1 = jnp.where(s_isf == 0, s_idx + jnp.uint64(1), jnp.uint64(0))
+    tagged = run_id * big + t_idx1
+    prefmax = jax.lax.cummax(tagged)
+    match1 = prefmax - run_id * big                     # last t idx + 1
+
+    bad = jnp.sum(jnp.where((s_isf == 1) & (match1 == 0),
+                            jnp.uint64(1), jnp.uint64(0)))
+    # merged position: t row i -> 2i ; f copy after its match -> 2m + 1
+    pos = jnp.where(s_isf == 0, s_idx * 2, (match1 - 1) * 2 + 1)
+    ops2 = [pos] + [sv[:, k] for k in range(dim)]
+    srt2 = jax.lax.sort(tuple(ops2), num_keys=1)
+    merged = jnp.stack(srt2[1:], axis=1)
+    return merged[0::2], merged[1::2], bad

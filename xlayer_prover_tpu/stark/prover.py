@@ -347,17 +347,34 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
 
     t_r2 = timer("stark.step2_h1h2", log=True)
     t_r2.__enter__()
-    cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
     e = env_n()
-    for pu in air.plookups:
-        f_np = _expr_to_np(e, pu.f_exp)
-        t_np = _expr_to_np(e, pu.t_exp)
-        h1, h2 = lookup.calculate_h1h2(f_np, t_np)
-        d = f_np.shape[1]
-        cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
-        cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
-
-    cm2_n = gl.from_u64_np(cm2_np)
+    if host:
+        cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
+        for pu in air.plookups:
+            f_np = _expr_to_np(e, pu.f_exp)
+            t_np = _expr_to_np(e, pu.t_exp)
+            h1, h2 = lookup.calculate_h1h2(f_np, t_np)
+            d = f_np.shape[1]
+            cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
+            cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
+        cm2_n = gl.from_u64_np(cm2_np)
+    else:
+        # device multiset split: everything stays on-chip (lax.sort)
+        import jax.numpy as jnp
+        cm2_n = gl.zeros((n, air.cm2_width))
+        bad_total = None
+        for pu in air.plookups:
+            f_dev = jnp.stack(e.eval_ext(pu.f_exp), axis=1)
+            t_dev = jnp.stack(e.eval_ext(pu.t_exp), axis=1)
+            h1, h2, bad = lookup.calculate_h1h2_device(f_dev, t_dev)
+            cm2_n = _set_cols(cm2_n, pu.h1_col.index,
+                              tuple(h1[:, k] for k in range(3)))
+            cm2_n = _set_cols(cm2_n, pu.h2_col.index,
+                              tuple(h2[:, k] for k in range(3)))
+            bad_total = bad if bad_total is None else bad_total + bad
+        if bad_total is not None:
+            assert int(bad_total) == 0, \
+                "plookup: f contains values missing from t"
     if air.cm2_width:
         cm2_ext = ntt.extend_pol(cm2_n, air.n_bits_ext)
     else:
