@@ -207,6 +207,22 @@ def _run_child():
     return result
 
 
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json")
+
+
+def _load_cached():
+    """Last successful device measurement (the axon tunnel wedges for
+    stretches; a stale-but-forced number beats a hang or a lie)."""
+    try:
+        with open(_CACHE_PATH) as f:
+            dev = json.load(f)
+        dev["cached"] = True
+        return dev
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _fallback_inprocess():
     """Async-dispatch timing (unforced) if the child fails."""
     import jax
@@ -271,6 +287,15 @@ def _executor_bench():
 def main():
     dev = _run_child()
     forced = dev is not None and dev.get("forced", False)
+    if dev is not None and forced:
+        try:
+            with open(_CACHE_PATH, "w") as f:
+                json.dump(dev, f)
+        except Exception:  # noqa: BLE001
+            pass
+    if dev is None:
+        dev = _load_cached()
+        forced = dev is not None and dev.get("forced", False)
     if dev is None:
         dev = _fallback_inprocess()
         forced = False
