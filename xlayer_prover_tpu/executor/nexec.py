@@ -270,7 +270,7 @@ class NativeMainExecutor:
         regs = ctx.regs
         for base, reg in ((S_A, regs.A), (S_B, regs.B), (S_C, regs.C),
                           (S_D, regs.D), (S_E, regs.E), (S_SR, regs.SR)):
-            state[base:base + 8] = [int(v) % P for v in reg]
+            state[base:base + 8] = reg          # values are canonical ints
         state[S_CTX] = regs.CTX % P
         state[S_SP] = regs.SP % P
         state[S_PC] = regs.PC % P
@@ -295,7 +295,7 @@ class NativeMainExecutor:
         regs = ctx.regs
         for base, name in ((S_A, "A"), (S_B, "B"), (S_C, "C"), (S_D, "D"),
                            (S_E, "E"), (S_SR, "SR")):
-            setattr(regs, name, [int(v) for v in state[base:base + 8]])
+            setattr(regs, name, state[base:base + 8].tolist())
         regs.CTX = int(state[S_CTX])
         regs.SP = int(state[S_SP])
         regs.PC = int(state[S_PC])
