@@ -247,6 +247,8 @@ class MockAggregatorServer:
         self._replies: dict = {}
         self._reply_events: dict = {}
         self._connected = threading.Event()
+        self._clients: list = []          # per-connection direct queues
+        self.reply_client: dict = {}      # msg_id -> client index
 
     def start(self):
         self._server.start()
@@ -255,20 +257,37 @@ class MockAggregatorServer:
     def stop(self):
         self._server.stop(1.0)
 
-    def wait_connected(self, timeout=10.0) -> bool:
-        return self._connected.wait(timeout)
+    def wait_connected(self, timeout=10.0, n: int = 1) -> bool:
+        """Wait until at least n prover streams are attached."""
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            if len(self._clients) >= n and self._connected.wait(0.1):
+                return True
+            _t.sleep(0.02)
+        return len(self._clients) >= n
 
-    def ask(self, msg_id: str, timeout: float = 120.0, **kwargs):
-        """Send one AggregatorMessage and wait for the prover's reply."""
+    def ask(self, msg_id: str, timeout: float = 120.0, client=None,
+            **kwargs):
+        """Send one AggregatorMessage and wait for a reply.  client=None
+        posts to the shared queue (any prover grabs it — the elastic
+        dispatch model); an index routes to that prover's own stream
+        (follow-ups like GetProof must reach the job's owner)."""
         msg = pb.AggregatorMessage(id=msg_id, **kwargs)
         ev = threading.Event()
         self._reply_events[msg_id] = ev
-        self._to_prover.put(msg)
+        if client is None:
+            self._to_prover.put(msg)
+        else:
+            self._clients[client].put(msg)
         if not ev.wait(timeout):
             raise TimeoutError(f"no reply for {msg_id}")
         return self._replies.pop(msg_id)
 
     def _channel(self, request_iterator, context):
+        my_q: "queue.Queue" = queue.Queue()
+        my_idx = len(self._clients)
+        self._clients.append(my_q)
         self._connected.set()
         stop = threading.Event()
 
@@ -276,6 +295,7 @@ class MockAggregatorServer:
             try:
                 for prover_msg in request_iterator:
                     self._replies[prover_msg.id] = prover_msg
+                    self.reply_client[prover_msg.id] = my_idx
                     ev = self._reply_events.pop(prover_msg.id, None)
                     if ev:
                         ev.set()
@@ -288,7 +308,10 @@ class MockAggregatorServer:
         t.start()
         while not stop.is_set():
             try:
-                msg = self._to_prover.get(timeout=0.25)
+                msg = my_q.get_nowait()
             except queue.Empty:
-                continue
+                try:
+                    msg = self._to_prover.get(timeout=0.25)
+                except queue.Empty:
+                    continue
             yield msg
