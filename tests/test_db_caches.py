@@ -93,3 +93,24 @@ def test_smt_on_cached_db():
     assert len(backend.nodes) > 0
     # reads after consolidation come straight from the cached stack
     assert hdb.get(None, root, (3, 0, 0, 0)).value == 1003
+
+
+def test_sql_db_roundtrip(tmp_path):
+    """SQL-backed node/program store (reference Database over Postgres;
+    sqlite carries the SQL path here) incl. persistence + cached stack."""
+    from xlayer_prover_tpu.state.database import SqlDB
+    path = str(tmp_path / "state.db")
+    db = SqlDB(path)
+    db.write(_key(1), list(range(12)))
+    db.set_program(_key(2), b"\xde\xad")
+    db.flush()
+    db2 = SqlDB(path)
+    assert db2.read(_key(1)) == list(range(12))
+    assert db2.get_program(_key(2)) == b"\xde\xad"
+    assert db2.read(_key(9)) is None
+    # the SMT + cached stack run over SQL end to end
+    from xlayer_prover_tpu.state.hashdb import HashDB
+    hdb = HashDB(CachedDB(db2))
+    root = (0, 0, 0, 0)
+    res = hdb.set("b", root, (5, 0, 0, 0), 777)
+    assert hdb.get("b", res.new_root, (5, 0, 0, 0)).value == 777

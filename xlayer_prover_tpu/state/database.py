@@ -327,3 +327,96 @@ class CachedDB:
 
     def flush_status(self) -> dict:
         return self.multi_write.status()
+
+
+# ---------------------------------------------------------------------------
+# SQL-backed store (reference Database + Postgres, database.cpp:
+# readRemote/writeRemote with read retries and a connection pool).
+# sqlite3 (stdlib) carries the SQL path in this environment; the schema
+# and the retry/reconnect semantics mirror the reference's state.nodes /
+# state.program tables, and a psycopg2 backend drops in where Postgres
+# is reachable (same SQL shape).
+# ---------------------------------------------------------------------------
+
+
+class SqlDB:
+    """state.nodes / state.program over a SQL connection with read
+    retries (dbReadRetryCounter/Delay semantics, config.hpp:181-182)."""
+
+    def __init__(self, url: str = ":memory:", read_retries: int = 3,
+                 retry_delay_s: float = 0.01):
+        import sqlite3
+        self.url = url
+        self.read_retries = read_retries
+        self.retry_delay_s = retry_delay_s
+        self._connect = lambda: sqlite3.connect(url)
+        self._conn = self._connect()
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS nodes (hash TEXT PRIMARY KEY, "
+            "data TEXT NOT NULL)")
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS program (hash TEXT PRIMARY KEY, "
+            "data BLOB NOT NULL)")
+        self._conn.commit()
+        self.reads = 0
+        self.writes = 0
+
+    @staticmethod
+    def _hex(key: Key) -> str:
+        return "%016x%016x%016x%016x" % tuple(int(v) for v in key)
+
+    def _retry(self, fn):
+        import time as _t
+        last = None
+        for _ in range(max(1, self.read_retries)):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 - reconnect and retry
+                last = e
+                try:
+                    self._conn = self._connect()
+                except Exception:  # noqa: BLE001
+                    pass
+                _t.sleep(self.retry_delay_s)
+        raise last
+
+    def read(self, key: Key):
+        self.reads += 1
+
+        def q():
+            cur = self._conn.execute(
+                "SELECT data FROM nodes WHERE hash = ?", (self._hex(key),))
+            row = cur.fetchone()
+            return None if row is None else \
+                [int(v, 16) for v in row[0].split(",")]
+        return self._retry(q)
+
+    def write(self, key: Key, value: List[int]):
+        self.writes += 1
+        assert len(value) == 12
+        data = ",".join("%x" % int(v) for v in value)
+
+        def q():
+            self._conn.execute(
+                "INSERT OR REPLACE INTO nodes (hash, data) VALUES (?, ?)",
+                (self._hex(key), data))
+        self._retry(q)
+
+    def get_program(self, key: Key):
+        def q():
+            cur = self._conn.execute(
+                "SELECT data FROM program WHERE hash = ?",
+                (self._hex(key),))
+            row = cur.fetchone()
+            return None if row is None else bytes(row[0])
+        return self._retry(q)
+
+    def set_program(self, key: Key, data: bytes):
+        def q():
+            self._conn.execute(
+                "INSERT OR REPLACE INTO program (hash, data) VALUES (?, ?)",
+                (self._hex(key), bytes(data)))
+        self._retry(q)
+
+    def flush(self):
+        self._retry(self._conn.commit)
