@@ -60,3 +60,36 @@ def test_service_saves_proof_artifact(tmp_path):
         assert "friFinalPol" in saved
     finally:
         svc.shutdown()
+
+
+def test_cancel_running_proof():
+    """Mid-proof cancellation: the worker aborts at a round boundary
+    (the reference's cancel only affects queued jobs)."""
+    import threading
+    import time as _t
+
+    from xlayer_prover_tpu.models.toy import fib
+    air = fib.build_air(n_bits=7, n_queries=4)
+    const_np, cm1_np, publics = fib.gen_trace(air)
+    setup = prover.Setup.build(air, const_np)
+    svc = ProverService({"batch": (air, setup)})
+    try:
+        req = ProverRequest(RequestType.GEN_BATCH_PROOF,
+                            {"cm1": cm1_np, "publics": publics})
+        svc.submit(req)
+        # wait until it is actually running, then cancel
+        for _ in range(500):
+            if req.state.value == "running":
+                break
+            _t.sleep(0.01)
+        assert svc.cancel(req.uuid)
+        svc.wait(req.uuid, timeout=300)
+        assert req.state.value in ("cancelled", "completed")
+        # a fresh request still works afterwards
+        req2 = ProverRequest(RequestType.GEN_BATCH_PROOF,
+                             {"cm1": cm1_np, "publics": publics})
+        svc.submit(req2)
+        svc.wait(req2.uuid, timeout=300)
+        assert req2.state.value == "completed"
+    finally:
+        svc.shutdown()

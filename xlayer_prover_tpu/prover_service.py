@@ -57,6 +57,8 @@ class ProverRequest:
     result: ZkResult = ZkResult.UNSPECIFIED
     proof: Optional[object] = None
     error: str = ""
+    abort: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
     done: threading.Event = dataclasses.field(
         default_factory=threading.Event)
 
@@ -105,16 +107,19 @@ class BatchProver:
             input_vars=batch_input.input_vars(),
             setup_registers=batch_input.setup_registers)
 
-    def prove_from_trace(self, cm1_np, publics):
+    def prove_from_trace(self, cm1_np, publics, abort_check=None):
         """STARK over a previously committed trace (resume-without-
         re-execution, the reference's mmap'd cmPols re-run path)."""
         setup = self.setup()
-        return stark_prover.gen_proof(setup, cm1_np, publics)
+        return stark_prover.gen_proof(setup, cm1_np, publics,
+                                      abort_check=abort_check)
 
-    def prove(self, batch_input, batch_uuid: str = "batch"):
+    def prove(self, batch_input, batch_uuid: str = "batch",
+              abort_check=None):
         """Run the batch and prove it.  Returns (StarkProof, Context)."""
         res = self.execute_only(batch_input, batch_uuid)
-        proof = self.prove_from_trace(res.cm1_np, res.publics)
+        proof = self.prove_from_trace(res.cm1_np, res.publics,
+                                      abort_check=abort_check)
         return proof, res.ctx
 
     # -- artifact persistence (reference saveInput/Output/ProofToFile +
@@ -180,6 +185,12 @@ class ProverService:
             req.result = ZkResult.CANCELLED
             req.done.set()
             return True
+        if req and req.state == RequestState.RUNNING:
+            # cooperative mid-proof abort: the worker polls at each
+            # prover round boundary (the reference's cancel only skips
+            # queued jobs)
+            req.abort.set()
+            return True
         return False
 
     def queue_depth(self) -> int:
@@ -206,6 +217,10 @@ class ProverService:
                 req.state = RequestState.COMPLETED
                 req.result = ZkResult.SUCCESS
                 self._save_artifact(req)
+            except stark_prover.ProofCancelled:
+                req.state = RequestState.CANCELLED
+                req.result = ZkResult.CANCELLED
+                zklog.info(f"prover: {req.uuid} cancelled mid-proof")
             except ZkError as e:
                 req.state = RequestState.FAILED
                 req.result = e.code
@@ -278,8 +293,9 @@ class ProverService:
             if self.batch_prover is None:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               "no batch prover engine configured")
-            proof, _ctx = self.batch_prover.prove(req.payload["input"],
-                                                  batch_uuid=req.uuid)
+            proof, _ctx = self.batch_prover.prove(
+                req.payload["input"], batch_uuid=req.uuid,
+                abort_check=req.abort.is_set)
             setup = self.batch_prover.setup()
             stark_verifier.verify(self.batch_prover.air, setup.verkey, proof)
             req.proof = proof
@@ -287,7 +303,8 @@ class ProverService:
         air, setup = self._get_setup(req.payload.get("circuit", "batch"))
         cm1 = req.payload["cm1"]
         publics = req.payload.get("publics", [])
-        proof = stark_prover.gen_proof(setup, cm1, publics)
+        proof = stark_prover.gen_proof(setup, cm1, publics,
+                                       abort_check=req.abort.is_set)
         # self-check before shipping (the reference cross-verifies via
         # pil-stark; we have a native verifier)
         stark_verifier.verify(air, setup.verkey, proof)

@@ -285,14 +285,26 @@ def _x_div_x_sub_traced(x_ext, point3):
     return gl3.mul_base(gl3.batch_inv(diff), x_ext)
 
 
+class ProofCancelled(Exception):
+    """Raised between rounds when an abort_check callback fires (the
+    cooperative mid-proof cancellation the reference lacks — its
+    cancel only skips queued jobs, prover.cpp:300-349)."""
+
+
 def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
-              mesh=None) -> StarkProof:
+              mesh=None, abort_check=None) -> StarkProof:
     """Generate a STARK proof; with `mesh` (jax.sharding.Mesh) the row axis
     of every section is sharded across the devices (SURVEY §2.7 P7/P8: the
     reference's shared 51 GB buffer + OpenMP loops become GSPMD arrays with
     ICI collectives).  Sharding only changes the partitioning, never the
-    values: sharded and unsharded proofs are byte-identical (tested)."""
+    values: sharded and unsharded proofs are byte-identical (tested).
+
+    abort_check: optional zero-arg callable polled at each round
+    boundary; returning True raises ProofCancelled."""
     air = setup.air
+    def _abort_point():
+        if abort_check is not None and abort_check():
+            raise ProofCancelled("proof aborted between rounds")
     n, n_ext = air.n, air.n_ext
     blowup = n_ext // n
     publics = [int(p) % P for p in publics]
@@ -345,6 +357,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
                            host=True)
         return EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
 
+    _abort_point()
     t_r2 = timer("stark.step2_h1h2", log=True)
     t_r2.__enter__()
     e = env_n()
@@ -389,6 +402,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     # ---- round 3: grand products Z -----------------------------------
     challenges[CH_GAMMA] = _challenge_triple(transcript)
     challenges[CH_BETA] = _challenge_triple(transcript)
+    _abort_point()
     t_r3 = timer("stark.step3_z", log=True)
     t_r3.__enter__()
     e = env_n()
