@@ -65,9 +65,14 @@ class ExecutorServiceImpl:
                                           trace=False)
         return ctx
 
+    MAX_BATCH_L2_DATA_SIZE = 120000      # reference input.hpp:19
+
     def process_batch_v2(self, request, context):
         resp = pb.ProcessBatchResponseV2()
         uuid = request.context_id or f"pb-{id(request):x}-{self.flushes}"
+        if len(request.batch_l2_data) > self.MAX_BATCH_L2_DATA_SIZE:
+            resp.error = pb.EXECUTOR_ERROR_INVALID_BATCH_L2_DATA
+            return resp
         try:
             from ..executor.forks import CURRENT_FORK, ForkRegistry
             from ..executor.full_tracer import FullTracer
