@@ -295,7 +295,9 @@ def main():
             pass
     if dev is None:
         dev = _load_cached()
-        forced = dev is not None and dev.get("forced", False)
+        # A cache hit is stale by definition: never publish it as a fresh
+        # forced measurement (VERDICT r2 weak-3).
+        forced = False
     if dev is None:
         dev = _fallback_inprocess()
         forced = False
@@ -316,6 +318,12 @@ def main():
         "vs_baseline": dev.get("ntt_vs_sol"),
         "forced": bool(forced),
     }
+    if dev.get("cached"):
+        line["cached"] = True
+    if "pipeline_2e20x16_ms" not in dev:
+        # The pipeline section (the number that matters most) never
+        # reported — say so instead of silently dropping it.
+        line["pipeline_wedged"] = True
     for k in ("ntt_ms", "poseidon_Mhashes_per_s", "poseidon_vs_sol",
               "merkle_tree_2e16_ms", "pipeline_2e20x16_ms",
               "pipeline_vs_sol", "rtt_ms"):

@@ -180,17 +180,23 @@ class ProverService:
 
     def cancel(self, uuid: str) -> bool:
         req = self.requests.get(uuid)
-        if req and req.state == RequestState.PENDING:
-            req.state = RequestState.CANCELLED
-            req.result = ZkResult.CANCELLED
-            req.done.set()
-            return True
-        if req and req.state == RequestState.RUNNING:
-            # cooperative mid-proof abort: the worker polls at each
-            # prover round boundary (the reference's cancel only skips
-            # queued jobs)
-            req.abort.set()
-            return True
+        if req is None:
+            return False
+        # The PENDING->RUNNING transition in the worker holds the same
+        # lock, so a cancel cannot land between the worker's CANCELLED
+        # check and the RUNNING assignment and then be overwritten.
+        with self._lock:
+            if req.state == RequestState.PENDING:
+                req.state = RequestState.CANCELLED
+                req.result = ZkResult.CANCELLED
+                req.done.set()
+                return True
+            if req.state == RequestState.RUNNING:
+                # cooperative mid-proof abort: the worker polls at each
+                # prover round boundary (the reference's cancel only skips
+                # queued jobs)
+                req.abort.set()
+                return True
         return False
 
     def queue_depth(self) -> int:
@@ -208,9 +214,12 @@ class ProverService:
             if uid is None:
                 break
             req = self.requests.get(uid)
-            if req is None or req.state == RequestState.CANCELLED:
+            if req is None:
                 continue
-            req.state = RequestState.RUNNING
+            with self._lock:
+                if req.state == RequestState.CANCELLED:
+                    continue
+                req.state = RequestState.RUNNING
             try:
                 with timer(f"prover.{req.req_type.value}", log=True):
                     self._dispatch(req)

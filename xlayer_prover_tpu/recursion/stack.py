@@ -71,8 +71,14 @@ class RecursionStack:
 
     def aggregate(self, p1: RecursiveProof, p2: RecursiveProof
                   ) -> RecursiveProof:
-        assert p1.level == p2.level, \
-            "can only aggregate proofs of the same level"
+        if p1.level != p2.level:
+            # Unbalanced trees need the shape-stable recursive2 (verkey as
+            # public input); surface a typed error the aggregator client
+            # can report instead of an AssertionError.
+            from ..utils.zkresult import ZkError, ZkResult
+            raise ZkError(ZkResult.PROVER_ERROR,
+                          f"cannot aggregate mixed levels "
+                          f"{p1.level} and {p2.level}")
         eng = self.agg_engine(p1.level + 1)
         return RecursiveProof(level=p1.level + 1,
                               proof=eng.prove(p1.proof, p2.proof))

@@ -107,7 +107,7 @@ class ExecutorServiceImpl:
             resp.cnt_binaries = ctx.counters.binary
             resp.cnt_steps = ctx.counters.steps
             resp.cnt_mem_aligns = ctx.counters.mem_align
-            resp.fork_id = request.fork_id or 9
+            resp.fork_id = fork_id
             self._fill_trace(resp, ctx)
             resp.error = pb.EXECUTOR_ERROR_NO_ERROR
             fid = self.hashdb.consolidate(uuid)
@@ -189,6 +189,9 @@ class ExecutorServiceImpl:
                 self.hashdb.db.set_program(key, code)
             batch = datastream2batch(request.data_stream)
             l2_data = batch_to_l2_data(batch)
+            if len(l2_data) > self.MAX_BATCH_L2_DATA_SIZE:
+                resp.error = pb.EXECUTOR_ERROR_INVALID_BATCH_L2_DATA
+                return resp
             input_vars = {
                 "oldStateRoot": wres.state_root,
                 "chainID": batch.chain_id,
@@ -212,13 +215,16 @@ class ExecutorServiceImpl:
                 new_root |= int(limb) << (32 * i)
             resp.new_state_root = new_root.to_bytes(32, "big")
             resp.cnt_steps = ctx.counters.steps
+            resp.fork_id = batch.fork_id
             self._fill_trace(resp, ctx)
             resp.error = pb.EXECUTOR_ERROR_NO_ERROR
         except ZkError as e:
             zklog.error(f"executor stateless: {e}")
+            self.hashdb.discard(uuid)
             resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
         except Exception as e:  # noqa: BLE001
             zklog.error(f"executor stateless: {e}")
+            self.hashdb.discard(uuid)
             resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
         return resp
 

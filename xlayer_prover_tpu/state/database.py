@@ -343,23 +343,34 @@ class SqlDB:
     """state.nodes / state.program over a SQL connection with read
     retries (dbReadRetryCounter/Delay semantics, config.hpp:181-182)."""
 
+    _DDL = (
+        "CREATE TABLE IF NOT EXISTS nodes (hash TEXT PRIMARY KEY, "
+        "data TEXT NOT NULL)",
+        "CREATE TABLE IF NOT EXISTS program (hash TEXT PRIMARY KEY, "
+        "data BLOB NOT NULL)",
+    )
+
     def __init__(self, url: str = ":memory:", read_retries: int = 3,
                  retry_delay_s: float = 0.01):
         import sqlite3
         self.url = url
         self.read_retries = read_retries
         self.retry_delay_s = retry_delay_s
-        self._connect = lambda: sqlite3.connect(url)
+        # One shared connection guarded by a mutex: the MultiWrite sender
+        # thread writes through this backend, so check_same_thread must be
+        # off and every op (including commit) runs on the same connection
+        # under the lock.
+        self._connect = lambda: sqlite3.connect(url, check_same_thread=False)
+        self._lock = threading.RLock()
         self._conn = self._connect()
-        self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS nodes (hash TEXT PRIMARY KEY, "
-            "data TEXT NOT NULL)")
-        self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS program (hash TEXT PRIMARY KEY, "
-            "data BLOB NOT NULL)")
-        self._conn.commit()
+        self._init_schema()
         self.reads = 0
         self.writes = 0
+
+    def _init_schema(self):
+        for ddl in self._DDL:
+            self._conn.execute(ddl)
+        self._conn.commit()
 
     @staticmethod
     def _hex(key: Key) -> str:
@@ -368,15 +379,22 @@ class SqlDB:
     def _retry(self, fn):
         import time as _t
         last = None
-        for _ in range(max(1, self.read_retries)):
+        for attempt in range(max(1, self.read_retries)):
             try:
-                return fn()
+                with self._lock:
+                    return fn()
             except Exception as e:  # noqa: BLE001 - reconnect and retry
                 last = e
-                try:
-                    self._conn = self._connect()
-                except Exception:  # noqa: BLE001
-                    pass
+                # ':memory:' databases live in the connection: replacing
+                # it would silently drop all data, so never reconnect.
+                if self.url != ":memory:" and \
+                        attempt + 1 < max(1, self.read_retries):
+                    try:
+                        with self._lock:
+                            self._conn = self._connect()
+                            self._init_schema()
+                    except Exception:  # noqa: BLE001
+                        pass
                 _t.sleep(self.retry_delay_s)
         raise last
 
