@@ -31,7 +31,23 @@ def test_u32_pair_path_matches(rng):
     from xlayer_prover_tpu.ops.pallas_poseidon import permute_u32
     states = rng.integers(0, gl.P, size=(64, 12), dtype=np.uint64)
     got = np.asarray(permute_u32(gl.from_u64_np(states)))
-    exp = gl.to_u64_np(poseidon_gl.permute(gl.from_u64_np(states)))
+    exp = gl.to_u64_np(poseidon_gl.permute_u64(gl.from_u64_np(states)))
+    assert np.array_equal(got, exp)
+
+
+def test_small_mds_path_matches(rng):
+    """The small-entry VPU MDS path (the TPU hot-path default) is
+    bit-exact vs the u64 XLA path, incl. boundary values."""
+    from xlayer_prover_tpu.ops.pallas_poseidon import permute_small
+    states = rng.integers(0, gl.P, size=(64, 12), dtype=np.uint64)
+    states[0] = 0
+    states[1] = gl.P - 1
+    states[2] = (1 << 32) - 1
+    states[3] = 1 << 32
+    states[4] = [gl.P - 1, 0, (1 << 32) - 1, 1 << 32, 123, gl.P - 2,
+                 1, 2, 3, 4, 5, 6]
+    got = np.asarray(permute_small(gl.from_u64_np(states)))
+    exp = gl.to_u64_np(poseidon_gl.permute_u64(gl.from_u64_np(states)))
     assert np.array_equal(got, exp)
 
 

@@ -33,7 +33,8 @@ def stack():
 
     server = MockAggregatorServer().start()
     client = AggregatorClient(prover, "127.0.0.1", server.port,
-                              input_decoder=decoder)
+                              input_decoder=decoder,
+                              watchdog_timeout_s=120.0)
     client.start()
     assert server.wait_connected(15.0)
     yield server, prover

@@ -522,13 +522,34 @@ class MainExecutor:
             freein = None
             if line.free_in_tag and line.free_in_tag.get("op"):
                 freein = self.compile_command(line.free_in_tag)
-            bundle = (before, after, freein)
+            hash_prefix = None
+            for prefix in ("hashK", "hashP", "hashS"):
+                if any(line.flag(prefix + s)
+                       for s in ("", "1", "Len", "Digest")):
+                    hash_prefix = prefix
+                    break
+            meta = {
+                "need_addr": (line.flag("mOp") or line.flag("JMP")
+                              or line.flag("JMPN") or line.flag("JMPC")
+                              or line.flag("JMPZ") or line.flag("call")
+                              or hash_prefix is not None),
+                "mOp": line.flag("mOp"), "mWR": line.flag("mWR"),
+                "assert": line.flag("assert"), "bin": line.flag("bin"),
+                "arith": (line.flag("arith")
+                          or any(line.flag(f"arithEq{i}") for i in range(6))),
+                "storage": line.flag("sRD") or line.flag("sWR"),
+                "mem_align": (line.flag("memAlignRD")
+                              or line.flag("memAlignWR")
+                              or line.flag("memAlignWR8")),
+                "hash_prefix": hash_prefix,
+            }
+            bundle = (before, after, freein, meta)
             self._cmd_cache[line.zkpc] = bundle
         return bundle
 
     def execute_line(self, ctx: Context, line: RomLine, step: int):
         regs = ctx.regs
-        cmd_before, cmd_after, freein_f = self._line_cmds(line)
+        cmd_before, cmd_after, freein_f, meta = self._line_cmds(line)
         if ctx.trace is not None:
             rec = {
                 "zkPC": regs.zkPC,
@@ -606,15 +627,10 @@ class MainExecutor:
                 add_scalar0(sel["inFREE0"], fi8[0])
 
         # ---- operations ----------------------------------------------
-        need_addr = (line.flag("mOp") or line.flag("JMP") or line.flag("JMPN")
-                     or line.flag("JMPC") or line.flag("JMPZ")
-                     or line.flag("call")
-                     or any(line.flag(p + s) for p in ("hashK", "hashP", "hashS")
-                            for s in ("", "1", "Len", "Digest")))
-        addr = self._addr(ctx, line) if need_addr else 0
+        addr = self._addr(ctx, line) if meta["need_addr"] else 0
 
-        if line.flag("mOp"):
-            if line.flag("mWR"):
+        if meta["mOp"]:
+            if meta["mWR"]:
                 ctx.mem[addr] = list(op)
                 ctx.required.memory.append(("W", addr, list(op), step))
             else:
@@ -624,27 +640,25 @@ class MainExecutor:
                     raise ZkError(ZkResult.PROVER_ERROR,
                                   f"memory read mismatch at zkPC={line.zkpc}")
 
-        if line.flag("assert"):
+        if meta["assert"]:
             if regs.A != op:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"assert fails at zkPC={line.zkpc}: "
                               f"[{line.line_str.strip()}]")
 
-        if line.flag("bin"):
+        if meta["bin"]:
             self._do_binary(ctx, line, op)
-        if line.flag("arith") or any(line.flag(f"arithEq{i}")
-                                     for i in range(6)):
+        if meta["arith"]:
             self._do_arith(ctx, line, op)
-        if line.flag("sRD") or line.flag("sWR"):
+        if meta["storage"]:
             self._do_storage(ctx, line, op)
-        if line.flag("memAlignRD") or line.flag("memAlignWR") \
-                or line.flag("memAlignWR8"):
+        if meta["mem_align"]:
             self._do_mem_align(ctx, line, op)
-        for prefix, table in (("hashK", ctx.hash_k), ("hashP", ctx.hash_p),
-                              ("hashS", ctx.hash_s)):
-            if any(line.flag(prefix + s) for s in ("", "1", "Len", "Digest")):
-                self._do_hash(ctx, line, prefix, table, op, addr)
-                break
+        if meta["hash_prefix"] is not None:
+            prefix = meta["hash_prefix"]
+            table = {"hashK": ctx.hash_k, "hashP": ctx.hash_p,
+                     "hashS": ctx.hash_s}[prefix]
+            self._do_hash(ctx, line, prefix, table, op, addr)
 
         # ---- setters --------------------------------------------------
         for s in line.sets:

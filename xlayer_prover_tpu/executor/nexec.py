@@ -32,6 +32,7 @@ F_JMP, F_JMPC, F_JMPN, F_JMPZ, F_CALL, F_RETURN, F_USEJMPADDR, F_USEELSE = \
     (1 << i for i in range(7, 15))
 F_ASSERT, F_BIN, F_EQ0, F_REPEAT, F_HASCONST, F_HASCONSTL, F_PYLINE, \
     F_FREE_DEFAULT, F_INFREE, F_INFREE0 = (1 << i for i in range(15, 25))
+F_EQ1, F_EQ2, F_FN, F_EXPR = (1 << i for i in range(25, 29))
 
 # shared-state slot indices (must mirror native/nexec.cpp)
 S_A, S_B, S_C, S_D, S_E, S_SR = 0, 8, 16, 24, 32, 40
@@ -39,9 +40,95 @@ S_A, S_B, S_C, S_D, S_E, S_SR = 0, 8, 16, 24, 32, 40
  S_STEP) = range(48, 58)
 (S_CNT_STEPS, S_CNT_ARITH, S_CNT_BINARY, S_CNT_KECCAK, S_CNT_SHA,
  S_CNT_MEMALIGN, S_CNT_PADPG, S_CNT_POSG) = range(58, 66)
-S_SIZE = 56 + 24
+(S_LIM_STEPS, S_LIM_ARITH, S_LIM_BINARY, S_LIM_KECCAK, S_LIM_SHA,
+ S_LIM_MEMALIGN, S_LIM_PADPG, S_LIM_POSG) = range(66, 74)
+S_SIZE = 80
 
 P = (1 << 64) - (1 << 32) + 1
+
+# ---- native expression bytecode (must mirror native/nexec.cpp) -----------
+(EX_END, EX_NUM, EX_REG, EX_ADD, EX_SUB, EX_MUL, EX_DIV, EX_MOD, EX_BAND,
+ EX_BOR, EX_BXOR, EX_SHL, EX_SHR, EX_LT, EX_GT, EX_EQ, EX_NE, EX_NOT,
+ EX_BITNOT, EX_MEM) = range(20)
+
+_EX_BINOPS = {
+    "add": EX_ADD, "sub": EX_SUB, "mul": EX_MUL, "div": EX_DIV,
+    "mod": EX_MOD, "and": EX_BAND, "bitand": EX_BAND, "or": EX_BOR,
+    "bitor": EX_BOR, "xor": EX_BXOR, "bitxor": EX_BXOR, "shl": EX_SHL,
+    "shr": EX_SHR, "lt": EX_LT, "gt": EX_GT, "eq": EX_EQ, "ne": EX_NE,
+}
+_EX_REGS = {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4, "SR": 5, "CTX": 6,
+            "SP": 7, "PC": 8, "GAS": 9, "RR": 10, "HASHPOS": 11,
+            "RCX": 12, "STEP": 13}
+
+# register-form functionCalls evaluated natively (fn ids mirror nexec.cpp).
+# The native core reads the points from fixed registers, so the params must
+# be exactly the getReg forms the ROM uses (A,B[,C,D]); anything else stays
+# on the Python path.
+_NATIVE_FNS = {"xAddPointEc": 1, "yAddPointEc": 2, "xDblPointEc": 3,
+               "yDblPointEc": 4, "inverseFpEc": 5}
+_FN_PARAM_REGS = {1: ("A", "B", "C", "D"), 2: ("A", "B", "C", "D"),
+                  3: ("A", "B"), 4: ("A", "B"), 5: ("A",)}
+
+
+def _fn_params_match(fn: int, params) -> bool:
+    want = _FN_PARAM_REGS[fn]
+    if not params:
+        return True        # register defaults (rom_functions fallback)
+    if len(params) != len(want):
+        return False
+    return all(p.get("op") == "getReg" and p.get("regName") == r
+               for p, r in zip(params, want))
+
+
+def compile_expr(cmd: dict):
+    """Command tree -> postfix u64 bytecode, or None if outside the
+    native envelope (only number/getReg leaves and pure-arithmetic ops;
+    vars, memory, nested calls stay on the Python path)."""
+    out = []
+
+    def emit(tree) -> bool:
+        op = tree.get("op")
+        if op == "number":
+            v = int(tree["num"])
+            if not (0 <= v < (1 << 256)):
+                return False
+            out.append(EX_NUM)
+            out.extend((v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+                       for k in range(4))
+            return True
+        if op == "getReg":
+            code = _EX_REGS.get(tree.get("regName"))
+            if code is None:
+                return False
+            out.extend((EX_REG, code))
+            return True
+        if op == "getMemValue":
+            out.extend((EX_MEM, int(tree["offset"])))
+            return True
+        if op in ("not", "bitnot"):
+            if not emit(tree["values"][0]):
+                return False
+            out.append(EX_NOT if op == "not" else EX_BITNOT)
+            return True
+        code = _EX_BINOPS.get(op)
+        vals = tree.get("values", ())
+        if code is None or len(vals) not in (1, 2):
+            return False
+        if not emit(vals[0]):
+            return False
+        if len(vals) == 2:
+            if not emit(vals[1]):
+                return False
+        else:                      # _binop pads a missing operand with 0
+            out.extend((EX_NUM, 0, 0, 0, 0))
+        out.append(code)
+        return True
+
+    if not emit(cmd):
+        return None
+    out.append(EX_END)
+    return out
 
 _STEP_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64,
                             ctypes.c_uint64)
@@ -62,7 +149,8 @@ def _load():
     lib.nexec_new.argtypes = [
         ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, u64p, _STEP_CB, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, u64p, _STEP_CB, ctypes.c_void_p]
     lib.nexec_free.argtypes = [ctypes.c_void_p]
     lib.nexec_run.restype = ctypes.c_int
     lib.nexec_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
@@ -89,6 +177,9 @@ def decode_rom(rom: Rom):
     jmp_addr = np.zeros(n, dtype=np.int32)
     else_addr = np.zeros(n, dtype=np.int32)
     bin_opcode = np.zeros(n, dtype=np.uint8)
+    fn_id = np.zeros(n, dtype=np.uint8)
+    expr_off = np.full(n, -1, dtype=np.int64)
+    expr_words = []
 
     flag_bits = {
         "mOp": F_MOP, "mWR": F_MWR, "useCTX": F_USECTX,
@@ -98,8 +189,8 @@ def decode_rom(rom: Rom):
         "useJmpAddr": F_USEJMPADDR, "useElseAddr": F_USEELSE,
         "assert": F_ASSERT, "bin": F_BIN, "repeat": F_REPEAT,
     }
-    py_flags = ["sRD", "sWR", "arithEq1", "arithEq2", "arithEq3",
-                "arithEq4", "arithEq5", "memAlignRD", "memAlignWR",
+    py_flags = ["sRD", "sWR", "arithEq3", "arithEq4", "arithEq5",
+                "memAlignRD", "memAlignWR",
                 "memAlignWR8", "hashK", "hashK1", "hashKLen", "hashKDigest",
                 "hashP", "hashP1", "hashPLen", "hashPDigest", "hashS",
                 "hashS1", "hashSLen", "hashSDigest", "save", "restore"]
@@ -109,21 +200,40 @@ def decode_rom(rom: Rom):
         for name, bit in flag_bits.items():
             if line.flag(name):
                 fl |= bit
-        pyline = (bool(line.cmd_before) or bool(line.cmd_after)
-                  or (line.free_in_tag is not None
-                      and line.free_in_tag.get("op")))
+        pyline = bool(line.cmd_before) or bool(line.cmd_after)
         pyline = pyline or any(line.flag(f) for f in py_flags)
+        # free input with a command tree: native functionCall (register
+        # form secp EC math), compiled expression bytecode, or Python
+        fit = line.free_in_tag
+        if fit is not None and fit.get("op"):
+            fid = _NATIVE_FNS.get(fit.get("funcName")) \
+                if fit.get("op") == "functionCall" else None
+            if fid is not None and _fn_params_match(fid, fit.get("params")):
+                fl |= F_FN
+                fn_id[i] = fid
+            else:
+                code = compile_expr(fit)
+                if code is not None:
+                    fl |= F_EXPR
+                    expr_off[i] = len(expr_words)
+                    expr_words.extend(code)
+                else:
+                    pyline = True
         any_arith = line.flag("arith") or any(line.flag(f"arithEq{k}")
                                               for k in range(6))
         if any_arith:
-            only_eq0 = line.flag("arithEq0") or not any(
-                line.flag(f"arithEq{k}") for k in range(1, 6))
-            if only_eq0:
+            if line.flag("arithEq1"):
+                fl |= F_EQ1
+            elif line.flag("arithEq2"):
+                fl |= F_EQ2
+            elif line.flag("arithEq0") or not any(
+                    line.flag(f"arithEq{k}") for k in range(1, 6)):
                 fl |= F_EQ0
             else:
                 pyline = True
         if pyline:
             fl |= F_PYLINE
+            fl &= ~(F_FN | F_EXPR | F_EQ1 | F_EQ2)
         if line.free_in_tag is not None and not line.free_in_tag.get("op"):
             fl |= F_FREE_DEFAULT
         if line.has_const or line.has_constl:
@@ -151,10 +261,12 @@ def decode_rom(rom: Rom):
         jmp_addr[i] = line.jmp_addr or 0
         else_addr[i] = line.else_addr or 0
         bin_opcode[i] = line.bin_opcode
+    expr_code = np.array(expr_words or [0], dtype=np.uint64)
     return dict(flags=flags, sets=sets, in_used=in_used,
                 in_coeffs=in_coeffs, const_limbs=const_limbs,
                 offset=offset, jmp_addr=jmp_addr, else_addr=else_addr,
-                bin_opcode=bin_opcode)
+                bin_opcode=bin_opcode, fn_id=fn_id, expr_off=expr_off,
+                expr_code=expr_code)
 
 
 class _NativeMem:
@@ -182,10 +294,13 @@ class _NativeMem:
 
 _ERR_NAMES = {
     -1: "max steps", -2: "assert fails", -3: "memory read mismatch",
-    -4: "binary check fails", -5: "arithEq0 fails", -6: "fea2scalar",
+    -4: "binary check fails", -5: "arith check fails", -6: "fea2scalar",
     -7: "JMPN invalid S33 value", -8: "callback error",
-    -9: "address out of range",
+    -9: "address out of range", -10: "out of counters: binary",
+    -11: "out of counters: arith",
 }
+_OOC_RESULTS = {-10: ZkResult.OUT_OF_COUNTERS_BINARY,
+                -11: ZkResult.OUT_OF_COUNTERS_ARITH}
 
 
 class NativeMainExecutor:
@@ -239,6 +354,9 @@ class NativeMainExecutor:
             a["jmp_addr"].ctypes.data_as(ctypes.c_void_p),
             a["else_addr"].ctypes.data_as(ctypes.c_void_p),
             a["bin_opcode"].ctypes.data_as(ctypes.c_void_p),
+            a["fn_id"].ctypes.data_as(ctypes.c_void_p),
+            a["expr_off"].ctypes.data_as(ctypes.c_void_p),
+            a["expr_code"].ctypes.data_as(ctypes.c_void_p),
             state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             cb, None)
         try:
@@ -251,6 +369,8 @@ class NativeMainExecutor:
                 if rc == -1:
                     raise ZkError(ZkResult.OUT_OF_COUNTERS_STEP,
                                   "max steps reached")
+                if rc in _OOC_RESULTS:
+                    raise ZkError(_OOC_RESULTS[rc], _ERR_NAMES[rc])
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"native executor: "
                               f"{_ERR_NAMES.get(rc, rc)} at zkPC="
@@ -289,6 +409,15 @@ class NativeMainExecutor:
         state[S_CNT_MEMALIGN] = c.mem_align
         state[S_CNT_PADPG] = c.padding_pg
         state[S_CNT_POSG] = c.poseidon_g
+        lims = getattr(ctx, "counter_limits", None) or {}
+        state[S_LIM_STEPS] = lims.get("steps", 0) or 0
+        state[S_LIM_ARITH] = lims.get("arith", 0) or 0
+        state[S_LIM_BINARY] = lims.get("binary", 0) or 0
+        state[S_LIM_KECCAK] = lims.get("keccak_f", 0) or 0
+        state[S_LIM_SHA] = lims.get("sha256_f", 0) or 0
+        state[S_LIM_MEMALIGN] = lims.get("mem_align", 0) or 0
+        state[S_LIM_PADPG] = lims.get("padding_pg", 0) or 0
+        state[S_LIM_POSG] = lims.get("poseidon_g", 0) or 0
 
     @staticmethod
     def _pull(state, ctx):

@@ -59,13 +59,17 @@ def keccak256(data: bytes) -> bytes:
     return bytes(out)
 
 
+_PERM_BUF = (ctypes.c_uint64 * 12)()
+
+
 def poseidon_permute(state12):
     """12 ints -> 12 ints (native if available, else host-exact python)."""
     lib = _load()
     if lib is None:
         from ..ops.merkle import _host_permute
         return _host_permute(list(state12))
-    buf = (ctypes.c_uint64 * 12)(*[int(v) for v in state12])
+    buf = _PERM_BUF
+    buf[:] = [int(v) for v in state12]
     assert lib.poseidon_permute(buf) == 0
     return list(buf)
 

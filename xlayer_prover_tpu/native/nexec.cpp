@@ -40,7 +40,10 @@ enum {
     S_CARRY, S_STEP,
     S_CNT_STEPS, S_CNT_ARITH, S_CNT_BINARY, S_CNT_KECCAK, S_CNT_SHA,
     S_CNT_MEMALIGN, S_CNT_PADPG, S_CNT_POSG,
-    S_SIZE = 32 + 24   // 56 slots reserved
+    // per-counter OOC limits (0 = unlimited), same order as counters
+    S_LIM_STEPS, S_LIM_ARITH, S_LIM_BINARY, S_LIM_KECCAK, S_LIM_SHA,
+    S_LIM_MEMALIGN, S_LIM_PADPG, S_LIM_POSG,
+    S_SIZE = 80
 };
 
 // ---- line flags ---------------------------------------------------------
@@ -54,6 +57,28 @@ enum {
     F_REPEAT = 1u << 18, F_HASCONST = 1u << 19, F_HASCONSTL = 1u << 20,
     F_PYLINE = 1u << 21, F_FREE_DEFAULT = 1u << 22, F_INFREE = 1u << 23,
     F_INFREE0 = 1u << 24,
+    F_EQ1 = 1u << 25, F_EQ2 = 1u << 26,       // native secp EC checks
+    F_FN = 1u << 27,                          // native functionCall free-in
+    F_EXPR = 1u << 28,                        // native expression free-in
+};
+
+// native functionCall ids (mirrored in executor/nexec.py)
+enum {
+    FN_XADD = 1, FN_YADD = 2, FN_XDBL = 3, FN_YDBL = 4, FN_INVFP = 5,
+};
+
+// expression bytecode ops (mirrored in executor/nexec.py)
+enum {
+    EX_END = 0, EX_NUM = 1, EX_REG = 2,
+    EX_ADD = 3, EX_SUB = 4, EX_MUL = 5, EX_DIV = 6, EX_MOD = 7,
+    EX_BAND = 8, EX_BOR = 9, EX_BXOR = 10, EX_SHL = 11, EX_SHR = 12,
+    EX_LT = 13, EX_GT = 14, EX_EQ = 15, EX_NE = 16, EX_NOT = 17,
+    EX_BITNOT = 18, EX_MEM = 19,
+};
+// EX_REG operand codes: 0..5 vector regs A..SR; 6..12 scalars
+enum {
+    XR_A = 0, XR_B, XR_C, XR_D, XR_E, XR_SR,
+    XR_CTX, XR_SP, XR_PC, XR_GAS, XR_RR, XR_HASHPOS, XR_RCX, XR_STEP,
 };
 
 // selector indices (IN_FIELDS order from executor/rom.py)
@@ -76,6 +101,19 @@ typedef int (*step_cb_t)(void* user, uint64_t zkpc, uint64_t step);
 
 struct MemEntry { uint64_t addr; uint64_t val[8]; uint8_t used; };
 
+// forward declarations (definitions below)
+static int fea_ok(const uint64_t* v);
+static void fea_to_words(const uint64_t* v, uint64_t* w);
+static void u256_mul_wide(const uint64_t* a, const uint64_t* b, uint64_t* p8);
+
+// slope cache: xAdd/yAdd (and xDbl/yDbl) are called back-to-back with the
+// same register points; share the computed point between them.
+struct EcCache {
+    uint64_t key[8];      // x1,y1 or x1,y1,x2,y2 digest inputs
+    uint64_t x3[4], y3[4];
+    int kind;             // 1 = add, 2 = dbl, 0 = empty
+};
+
 struct Nexec {
     // decoded rom (borrowed numpy buffers; Python keeps them alive)
     uint64_t n_lines;
@@ -88,6 +126,9 @@ struct Nexec {
     const int32_t* jmp_addr;
     const int32_t* else_addr;
     const uint8_t* bin_opcode;
+    const uint8_t* fn_id;          // native functionCall id per line
+    const int64_t* expr_off;       // offset into expr_code (-1 = none)
+    const uint64_t* expr_code;     // postfix bytecode arena
 
     uint64_t* st;                  // shared state block
 
@@ -95,9 +136,271 @@ struct Nexec {
     uint64_t mem_cap;
     uint64_t mem_count;
 
+    EcCache ec_cache;
+
     step_cb_t cb;
     void* cb_user;
 };
+
+static MemEntry* mem_slot(Nexec* nx, uint64_t addr, int insert);
+
+// ---- 576-bit expression values (9 x u64) ---------------------------------
+// Command-tree arithmetic is unbounded in the reference (mpz); the native
+// evaluator covers the 576-bit envelope and DEFERS to Python on anything
+// outside it (negative subtraction, >256-bit multiply operands, wide
+// shifts) — bit-exactness by construction.
+
+#define XN 9
+
+static int x9_bits(const uint64_t* a) {
+    for (int i = XN - 1; i >= 0; i--)
+        if (a[i]) return i * 64 + 64 - __builtin_clzll(a[i]);
+    return 0;
+}
+
+static int x9_add(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    u128 c = 0;
+    for (int i = 0; i < XN; i++) {
+        u128 s = (u128)a[i] + b[i] + c;
+        r[i] = (uint64_t)s;
+        c = s >> 64;
+    }
+    return c ? -1 : 0;     // overflow -> defer
+}
+
+static int x9_sub(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    u128 borrow = 0;
+    for (int i = 0; i < XN; i++) {
+        u128 bb = (u128)b[i] + borrow;
+        if ((u128)a[i] >= bb) { r[i] = (uint64_t)((u128)a[i] - bb); borrow = 0; }
+        else { r[i] = (uint64_t)((((u128)1) << 64) + a[i] - bb); borrow = 1; }
+    }
+    return borrow ? -1 : 0;   // negative -> defer
+}
+
+static int x9_mul(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    if (x9_bits(a) > 256 || x9_bits(b) > 256) return -1;   // defer
+    uint64_t p8[8];
+    u256_mul_wide(a, b, p8);
+    memcpy(r, p8, 64);
+    r[8] = 0;
+    return 0;
+}
+
+static int x9_cmp(const uint64_t* a, const uint64_t* b) {
+    for (int i = XN - 1; i >= 0; i--) {
+        if (a[i] < b[i]) return -1;
+        if (a[i] > b[i]) return 1;
+    }
+    return 0;
+}
+
+static int x9_is_zero(const uint64_t* a) {
+    for (int i = 0; i < XN; i++) if (a[i]) return 0;
+    return 1;
+}
+
+static void x9_shl1(uint64_t* a) {
+    for (int i = XN - 1; i > 0; i--) a[i] = (a[i] << 1) | (a[i - 1] >> 63);
+    a[0] <<= 1;
+}
+
+static void x9_shr1(uint64_t* a) {
+    for (int i = 0; i < XN - 1; i++) a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+    a[XN - 1] >>= 1;
+}
+
+static int x9_shl(const uint64_t* a, uint64_t k, uint64_t* r) {
+    if (k > 576 || x9_bits(a) + (int)k > 576) return -1;
+    memcpy(r, a, XN * 8);
+    uint64_t words = k / 64, bits = k % 64;
+    if (words) {
+        for (int i = XN - 1; i >= 0; i--)
+            r[i] = (i >= (int)words) ? r[i - words] : 0;
+    }
+    if (bits) {
+        for (int i = XN - 1; i > 0; i--)
+            r[i] = (r[i] << bits) | (r[i - 1] >> (64 - bits));
+        r[0] <<= bits;
+    }
+    return 0;
+}
+
+static void x9_shr(const uint64_t* a, uint64_t k, uint64_t* r) {
+    if (k >= 576) { memset(r, 0, XN * 8); return; }
+    memcpy(r, a, XN * 8);
+    uint64_t words = k / 64, bits = k % 64;
+    if (words) {
+        for (int i = 0; i < XN; i++)
+            r[i] = (i + words < XN) ? r[i + words] : 0;
+    }
+    if (bits) {
+        for (int i = 0; i < XN - 1; i++)
+            r[i] = (r[i] >> bits) | (r[i + 1] << (64 - bits));
+        r[XN - 1] >>= bits;
+    }
+}
+
+// long division: q = a / b, m = a % b (b != 0)
+static void x9_divmod(const uint64_t* a, const uint64_t* b,
+                      uint64_t* q, uint64_t* m) {
+    uint64_t rem[XN];
+    memset(q, 0, XN * 8);
+    memset(rem, 0, XN * 8);
+    int nb = x9_bits(a);
+    for (int i = nb - 1; i >= 0; i--) {
+        x9_shl1(rem);
+        rem[0] |= (a[i / 64] >> (i % 64)) & 1;
+        if (x9_cmp(rem, b) >= 0) {
+            uint64_t t[XN];
+            x9_sub(rem, b, t);
+            memcpy(rem, t, XN * 8);
+            q[i / 64] |= 1ULL << (i % 64);
+        }
+    }
+    memcpy(m, rem, XN * 8);
+}
+
+#define EXPR_STACK 16
+
+// evaluate postfix bytecode; returns 0 ok (res = 256-bit truncated? no —
+// result must fit 256 bits for scalar_to_fea), -1 defer
+static int expr_eval(Nexec* nx, const uint64_t* code, uint64_t step,
+                     uint64_t* res4) {
+    uint64_t stack[EXPR_STACK][XN];
+    int sp = 0;
+    const uint64_t* st = nx->st;
+    for (size_t pc = 0;; ) {
+        uint64_t op = code[pc++];
+        if (op == EX_END) break;
+        switch (op) {
+            case EX_NUM: {
+                if (sp >= EXPR_STACK) return -1;
+                memset(stack[sp], 0, XN * 8);
+                memcpy(stack[sp], &code[pc], 32);
+                pc += 4;
+                sp++;
+                break;
+            }
+            case EX_REG: {
+                if (sp >= EXPR_STACK) return -1;
+                uint64_t rc = code[pc++];
+                uint64_t* v = stack[sp];
+                memset(v, 0, XN * 8);
+                if (rc <= XR_SR) {
+                    static const int bases[6] =
+                        {S_A, S_B, S_C, S_D, S_E, S_SR};
+                    const uint64_t* fea = &st[bases[rc]];
+                    if (!fea_ok(fea)) return -1;
+                    fea_to_words(fea, v);
+                } else {
+                    uint64_t s;
+                    switch (rc) {
+                        case XR_CTX: s = st[S_CTX]; break;
+                        case XR_SP: s = st[S_SP]; break;
+                        case XR_PC: s = st[S_PC]; break;
+                        case XR_GAS: s = st[S_GAS]; break;
+                        case XR_RR: s = st[S_RR]; break;
+                        case XR_HASHPOS: s = st[S_HASHPOS]; break;
+                        case XR_RCX: s = st[S_RCX]; break;
+                        case XR_STEP: s = step; break;
+                        default: return -1;
+                    }
+                    v[0] = s;
+                }
+                sp++;
+                break;
+            }
+            case EX_MEM: {
+                if (sp >= EXPR_STACK) return -1;
+                uint64_t addr = code[pc++];
+                uint64_t* v = stack[sp];
+                memset(v, 0, XN * 8);
+                MemEntry* e = mem_slot(nx, addr, 0);
+                if (e) {
+                    if (!fea_ok(e->val)) return -1;
+                    fea_to_words(e->val, v);
+                }
+                sp++;
+                break;
+            }
+            case EX_NOT: case EX_BITNOT: {
+                if (sp < 1) return -1;
+                uint64_t* a = stack[sp - 1];
+                if (op == EX_NOT) {
+                    uint64_t z = x9_is_zero(a);
+                    memset(a, 0, XN * 8);
+                    a[0] = z;
+                } else {
+                    if (x9_bits(a) > 256) return -1;
+                    for (int i = 0; i < 4; i++) a[i] = ~a[i];
+                    for (int i = 4; i < XN; i++) a[i] = 0;
+                }
+                break;
+            }
+            default: {
+                if (sp < 2) return -1;
+                uint64_t* a = stack[sp - 2];
+                uint64_t* b = stack[sp - 1];
+                uint64_t r[XN];
+                switch (op) {
+                    case EX_ADD: if (x9_add(a, b, r)) return -1; break;
+                    case EX_SUB: if (x9_sub(a, b, r)) return -1; break;
+                    case EX_MUL: if (x9_mul(a, b, r)) return -1; break;
+                    case EX_DIV:
+                        if (x9_is_zero(b)) memset(r, 0, XN * 8);
+                        else { uint64_t m[XN]; x9_divmod(a, b, r, m); }
+                        break;
+                    case EX_MOD:
+                        if (x9_is_zero(b)) memset(r, 0, XN * 8);
+                        else { uint64_t q[XN]; x9_divmod(a, b, q, r); }
+                        break;
+                    case EX_BAND:
+                        for (int i = 0; i < XN; i++) r[i] = a[i] & b[i];
+                        break;
+                    case EX_BOR:
+                        for (int i = 0; i < XN; i++) r[i] = a[i] | b[i];
+                        break;
+                    case EX_BXOR:
+                        for (int i = 0; i < XN; i++) r[i] = a[i] ^ b[i];
+                        break;
+                    case EX_SHL:
+                        if (x9_bits(b) > 16) return -1;
+                        if (x9_shl(a, b[0], r)) return -1;
+                        break;
+                    case EX_SHR:
+                        if (x9_bits(b) > 16) { memset(r, 0, XN * 8); break; }
+                        x9_shr(a, b[0], r);
+                        break;
+                    case EX_LT: {
+                        uint64_t v = x9_cmp(a, b) < 0;
+                        memset(r, 0, XN * 8); r[0] = v; break;
+                    }
+                    case EX_GT: {
+                        uint64_t v = x9_cmp(a, b) > 0;
+                        memset(r, 0, XN * 8); r[0] = v; break;
+                    }
+                    case EX_EQ: {
+                        uint64_t v = x9_cmp(a, b) == 0;
+                        memset(r, 0, XN * 8); r[0] = v; break;
+                    }
+                    case EX_NE: {
+                        uint64_t v = x9_cmp(a, b) != 0;
+                        memset(r, 0, XN * 8); r[0] = v; break;
+                    }
+                    default: return -1;
+                }
+                memcpy(stack[sp - 2], r, XN * 8);
+                sp--;
+                break;
+            }
+        }
+    }
+    if (sp != 1) return -1;
+    if (x9_bits(stack[0]) > 256) return -1;   // must fit scalar_to_fea
+    memcpy(res4, stack[0], 32);
+    return 0;
+}
 
 // ---- memory map ---------------------------------------------------------
 static void mem_init(Nexec* nx, uint64_t cap) {
@@ -105,8 +408,6 @@ static void mem_init(Nexec* nx, uint64_t cap) {
     nx->mem_count = 0;
     nx->mem = (MemEntry*)calloc(cap, sizeof(MemEntry));
 }
-
-static MemEntry* mem_slot(Nexec* nx, uint64_t addr, int insert);
 
 static void mem_grow(Nexec* nx) {
     MemEntry* old = nx->mem;
@@ -166,6 +467,203 @@ static int words_lt(const uint64_t* a, const uint64_t* b) {
         if (a[i] < b[i]) return 1;
         if (a[i] > b[i]) return 0;
     }
+    return 0;
+}
+
+// ---- secp256k1 Fp arithmetic (p = 2^256 - 2^32 - 977) -------------------
+// Used by the native ECRecover hot path (xAdd/yAdd/xDbl/yDbl point math
+// and the arithEq1/eq2 checks) — the reference evaluates these through
+// ffiasm RawFec (src/main_sm/fork_9/main/eval_command.cpp AddPointEc).
+
+static const uint64_t SECP_P[4] = {
+    0xFFFFFFFEFFFFFC2FULL, 0xFFFFFFFFFFFFFFFFULL,
+    0xFFFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL};
+
+static int u256_lt(const uint64_t* a, const uint64_t* b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] < b[i]) return 1;
+        if (a[i] > b[i]) return 0;
+    }
+    return 0;
+}
+
+static uint64_t u256_add(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a[i] + b[i] + c;
+        r[i] = (uint64_t)s;
+        c = s >> 64;
+    }
+    return (uint64_t)c;
+}
+
+static uint64_t u256_sub(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 bb = (u128)b[i] + borrow;
+        if ((u128)a[i] >= bb) { r[i] = (uint64_t)((u128)a[i] - bb); borrow = 0; }
+        else { r[i] = (uint64_t)((((u128)1) << 64) + a[i] - bb); borrow = 1; }
+    }
+    return (uint64_t)borrow;
+}
+
+static void fp_norm(uint64_t* a) {
+    while (!u256_lt(a, SECP_P)) { uint64_t t[4]; u256_sub(a, SECP_P, t);
+        memcpy(a, t, 32); }
+}
+
+static void fp_add(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    uint64_t c = u256_add(a, b, r);
+    if (c || !u256_lt(r, SECP_P)) { uint64_t t[4]; u256_sub(r, SECP_P, t);
+        memcpy(r, t, 32); }
+}
+
+static void fp_sub(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    if (u256_sub(a, b, r)) { uint64_t t[4]; u256_add(r, SECP_P, t);
+        memcpy(r, t, 32); }
+}
+
+// full 256x256 -> 512
+static void u256_mul_wide(const uint64_t* a, const uint64_t* b, uint64_t* p8) {
+    memset(p8, 0, 64);
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 cur = (u128)a[i] * b[j] + p8[i + j] + c;
+            p8[i + j] = (uint64_t)cur;
+            c = cur >> 64;
+        }
+        p8[i + 4] = (uint64_t)c;
+    }
+}
+
+// r = x mod p, x = hi*2^256 + lo; 2^256 ≡ 2^32 + 977 =: K (fits u64)
+static void fp_reduce512(const uint64_t* p8, uint64_t* r) {
+    const uint64_t K = (1ULL << 32) + 977ULL;
+    // fold hi*K into lo: hi*K is 256+42 bits -> (t5 words)
+    uint64_t acc[5];
+    memcpy(acc, p8, 32);
+    acc[4] = 0;
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)p8[4 + i] * K + acc[i] + carry;
+        acc[i] = (uint64_t)cur;
+        carry = cur >> 64;
+    }
+    u128 top = (u128)acc[4] + carry;          // < 2^43
+    // fold top*2^256 ≡ top*K  (top*K < 2^86)
+    u128 low = (u128)((uint64_t)top) * K;
+    uint64_t add0 = (uint64_t)low;
+    uint64_t add1 = (uint64_t)(low >> 64) + (uint64_t)(top >> 64) * K;
+    u128 s = (u128)acc[0] + add0;
+    r[0] = (uint64_t)s;
+    s = (u128)acc[1] + add1 + (s >> 64);
+    r[1] = (uint64_t)s;
+    s = (u128)acc[2] + (s >> 64);
+    r[2] = (uint64_t)s;
+    s = (u128)acc[3] + (s >> 64);
+    r[3] = (uint64_t)s;
+    if (s >> 64) {                            // one more wrap (rare)
+        uint64_t k4[4] = {K, 0, 0, 0};
+        uint64_t t[4];
+        u256_add(r, k4, t);
+        memcpy(r, t, 32);
+    }
+    fp_norm(r);
+}
+
+static void fp_mul(const uint64_t* a, const uint64_t* b, uint64_t* r) {
+    uint64_t p8[8];
+    u256_mul_wide(a, b, p8);
+    fp_reduce512(p8, r);
+}
+
+static int u256_is_zero(const uint64_t* a) {
+    return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+static int u256_is_even(const uint64_t* a) { return (a[0] & 1) == 0; }
+
+static void u256_shr1(uint64_t* a) {
+    for (int i = 0; i < 3; i++) a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+    a[3] >>= 1;
+}
+
+// binary extended gcd: r = a^-1 mod p (a != 0, a < p)
+static void fp_inv(const uint64_t* a, uint64_t* r) {
+    uint64_t u[4], v[4], x1[4], x2[4];
+    memcpy(u, a, 32);
+    memcpy(v, SECP_P, 32);
+    memset(x1, 0, 32); x1[0] = 1;
+    memset(x2, 0, 32);
+    while (!u256_is_zero(u) && !(u[0] == 1 && !(u[1] | u[2] | u[3]))) {
+        while (u256_is_even(u)) {
+            u256_shr1(u);
+            if (u256_is_even(x1)) u256_shr1(x1);
+            else {
+                uint64_t c = u256_add(x1, SECP_P, x1);
+                u256_shr1(x1);
+                x1[3] |= c << 63;
+            }
+        }
+        while (!u256_is_zero(v) && u256_is_even(v)) {
+            u256_shr1(v);
+            if (u256_is_even(x2)) u256_shr1(x2);
+            else {
+                uint64_t c = u256_add(x2, SECP_P, x2);
+                u256_shr1(x2);
+                x2[3] |= c << 63;
+            }
+        }
+        if (!u256_lt(u, v)) {
+            uint64_t t[4];
+            u256_sub(u, v, t); memcpy(u, t, 32);
+            fp_sub(x1, x2, x1);
+        } else {
+            uint64_t t[4];
+            u256_sub(v, u, t); memcpy(v, t, 32);
+            fp_sub(x2, x1, x2);
+        }
+    }
+    if (u256_is_zero(u)) memcpy(r, x2, 32);   // gcd through v branch
+    else memcpy(r, x1, 32);
+}
+
+// add: (x1,y1) + (x2,y2), x1 != x2 -> x3, y3;  returns 0 ok, -1 defer
+static int ec_add_affine(const uint64_t* x1, const uint64_t* y1,
+                         const uint64_t* x2, const uint64_t* y2,
+                         uint64_t* x3, uint64_t* y3) {
+    uint64_t dx[4], dy[4], inv[4], s[4], s2[4], t[4];
+    fp_sub(x2, x1, dx);
+    if (u256_is_zero(dx)) return -1;
+    fp_sub(y2, y1, dy);
+    fp_inv(dx, inv);
+    fp_mul(dy, inv, s);
+    fp_mul(s, s, s2);
+    fp_sub(s2, x1, t);
+    fp_sub(t, x2, x3);
+    fp_sub(x1, x3, t);
+    fp_mul(s, t, t);
+    fp_sub(t, y1, y3);
+    return 0;
+}
+
+static int ec_dbl_affine(const uint64_t* x1, const uint64_t* y1,
+                         uint64_t* x3, uint64_t* y3) {
+    uint64_t two_y[4], inv[4], s[4], s2[4], t[4], three_x2[4], x1sq[4];
+    fp_add(y1, y1, two_y);
+    if (u256_is_zero(two_y)) return -1;
+    fp_mul(x1, x1, x1sq);
+    fp_add(x1sq, x1sq, three_x2);
+    fp_add(three_x2, x1sq, three_x2);
+    fp_inv(two_y, inv);
+    fp_mul(three_x2, inv, s);
+    fp_mul(s, s, s2);
+    fp_sub(s2, x1, t);
+    fp_sub(t, x1, x3);
+    fp_sub(x1, x3, t);
+    fp_mul(s, t, t);
+    fp_sub(t, y1, y3);
     return 0;
 }
 
@@ -232,14 +730,16 @@ void* nexec_new(uint64_t n_lines, const uint32_t* flags, const uint32_t* sets,
                 const uint32_t* in_used, const uint64_t* in_coeffs,
                 const uint64_t* const_limbs, const int64_t* offset,
                 const int32_t* jmp_addr, const int32_t* else_addr,
-                const uint8_t* bin_opcode, uint64_t* state,
-                step_cb_t cb, void* cb_user) {
+                const uint8_t* bin_opcode, const uint8_t* fn_id,
+                const int64_t* expr_off, const uint64_t* expr_code,
+                uint64_t* state, step_cb_t cb, void* cb_user) {
     Nexec* nx = (Nexec*)calloc(1, sizeof(Nexec));
     nx->n_lines = n_lines;
     nx->flags = flags; nx->sets = sets; nx->in_used = in_used;
     nx->in_coeffs = in_coeffs; nx->const_limbs = const_limbs;
     nx->offset = offset; nx->jmp_addr = jmp_addr;
     nx->else_addr = else_addr; nx->bin_opcode = bin_opcode;
+    nx->fn_id = fn_id; nx->expr_off = expr_off; nx->expr_code = expr_code;
     nx->st = state;
     nx->cb = cb; nx->cb_user = cb_user;
     mem_init(nx, 1 << 16);
@@ -272,6 +772,7 @@ enum {
     NX_OK = 0, NX_DONE = 1, NX_ERR_MAXSTEPS = -1, NX_ERR_ASSERT = -2,
     NX_ERR_MEM = -3, NX_ERR_BINARY = -4, NX_ERR_ARITH = -5,
     NX_ERR_FEA = -6, NX_ERR_JMPN = -7, NX_ERR_CB = -8, NX_ERR_ADDR = -9,
+    NX_ERR_OOC_BINARY = -10, NX_ERR_OOC_ARITH = -11,
 };
 
 // run until stop_pc or max_steps; returns NX_DONE or error
@@ -380,6 +881,99 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
                     return NX_ERR_BINARY;
                 words_to_fea(rw, fi);
             }
+        } else if (fl & F_FN) {
+            // native functionCall free input (register-form EC math); any
+            // edge case (point at infinity, zero inverse, wide limbs)
+            // defers the whole line to the Python interpreter, which
+            // raises/handles identically.
+            uint64_t x1[4], y1[4], x2[4], y2[4], rx[4], ry[4];
+            int defer = 0;
+            if (!fea_ok(&st[S_A]) || !fea_ok(&st[S_B])) defer = 1;
+            if (!defer) {
+                fea_to_words(&st[S_A], x1);
+                fea_to_words(&st[S_B], y1);
+                int fn = nx->fn_id[zkpc];
+                switch (fn) {
+                    case FN_XADD: case FN_YADD: {
+                        if (!fea_ok(&st[S_C]) || !fea_ok(&st[S_D]))
+                            { defer = 1; break; }
+                        fea_to_words(&st[S_C], x2);
+                        fea_to_words(&st[S_D], y2);
+                        // points must already be < p for the cached slope
+                        if (!u256_lt(x1, SECP_P) || !u256_lt(y1, SECP_P) ||
+                            !u256_lt(x2, SECP_P) || !u256_lt(y2, SECP_P))
+                            { defer = 1; break; }
+                        EcCache* c = &nx->ec_cache;
+                        if (c->kind == 1 &&
+                            !memcmp(c->key, x1, 32) &&
+                            !memcmp(c->key + 4, x2, 32)) {
+                            memcpy(rx, c->x3, 32);
+                            memcpy(ry, c->y3, 32);
+                        } else {
+                            if (ec_add_affine(x1, y1, x2, y2, rx, ry))
+                                { defer = 1; break; }
+                            c->kind = 1;
+                            memcpy(c->key, x1, 32);
+                            memcpy(c->key + 4, x2, 32);
+                            memcpy(c->x3, rx, 32);
+                            memcpy(c->y3, ry, 32);
+                        }
+                        words_to_fea(fn == FN_XADD ? rx : ry, fi);
+                        have_fi = 1;
+                        break;
+                    }
+                    case FN_XDBL: case FN_YDBL: {
+                        if (!u256_lt(x1, SECP_P) || !u256_lt(y1, SECP_P))
+                            { defer = 1; break; }
+                        EcCache* c = &nx->ec_cache;
+                        if (c->kind == 2 &&
+                            !memcmp(c->key, x1, 32) &&
+                            !memcmp(c->key + 4, y1, 32)) {
+                            memcpy(rx, c->x3, 32);
+                            memcpy(ry, c->y3, 32);
+                        } else {
+                            if (ec_dbl_affine(x1, y1, rx, ry))
+                                { defer = 1; break; }
+                            c->kind = 2;
+                            memcpy(c->key, x1, 32);
+                            memcpy(c->key + 4, y1, 32);
+                            memcpy(c->x3, rx, 32);
+                            memcpy(c->y3, ry, 32);
+                        }
+                        words_to_fea(fn == FN_XDBL ? rx : ry, fi);
+                        have_fi = 1;
+                        break;
+                    }
+                    case FN_INVFP: {
+                        uint64_t a[4];
+                        memcpy(a, x1, 32);
+                        fp_norm(a);
+                        if (u256_is_zero(a)) { defer = 1; break; }
+                        fp_inv(a, rx);
+                        words_to_fea(rx, fi);
+                        have_fi = 1;
+                        break;
+                    }
+                    default: defer = 1;
+                }
+            }
+            if (defer) {
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
+        } else if (fl & F_EXPR) {
+            if (expr_eval(nx, &nx->expr_code[nx->expr_off[zkpc]], step,
+                          fi) == 0) {
+                uint64_t w[4];
+                memcpy(w, fi, 32);
+                words_to_fea(w, fi);
+                have_fi = 1;
+            } else {
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
         }
         if (have_fi) {
             if (used & (1u << IN_FREE)) {
@@ -422,6 +1016,8 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             if (memcmp(rw, ow, 32) != 0) return NX_ERR_BINARY;
             st[S_CARRY] = carry;
             st[S_CNT_BINARY] += 1;
+            if (st[S_LIM_BINARY] && st[S_CNT_BINARY] > st[S_LIM_BINARY])
+                return NX_ERR_OOC_BINARY;
         }
 
         // arith eq0: A*B + C == D*2^256 + op
@@ -456,6 +1052,39 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             if (memcmp(prod, ow, 32) != 0 || memcmp(prod + 4, dw, 32) != 0)
                 return NX_ERR_ARITH;
             st[S_CNT_ARITH] += 1;
+            if (st[S_LIM_ARITH] && st[S_CNT_ARITH] > st[S_LIM_ARITH])
+                return NX_ERR_OOC_ARITH;
+        }
+
+        // arith eq1/eq2: secp256k1 point add / double check
+        // (main_sm._do_arith; reference sm_arith_eq1/eq2)
+        if (fl & (F_EQ1 | F_EQ2)) {
+            uint64_t x1[4], y1[4], x2[4], y2[4], x3[4], y3[4], ex[4], ey[4];
+            if (!fea_ok(&st[S_A]) || !fea_ok(&st[S_B]) || !fea_ok(&st[S_C])
+                || !fea_ok(&st[S_D]) || !fea_ok(&st[S_E]) || !fea_ok(op))
+                return NX_ERR_FEA;
+            fea_to_words(&st[S_A], x1);
+            fea_to_words(&st[S_B], y1);
+            fea_to_words(&st[S_C], x2);
+            fea_to_words(&st[S_D], y2);
+            fea_to_words(&st[S_E], ex);
+            fea_to_words(op, ey);
+            // register values can exceed p in principle; defer those
+            if (!u256_lt(x1, SECP_P) || !u256_lt(y1, SECP_P) ||
+                !u256_lt(x2, SECP_P) || !u256_lt(y2, SECP_P) ||
+                !u256_lt(ex, SECP_P) || !u256_lt(ey, SECP_P)) {
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
+            int bad;
+            if (fl & F_EQ1) bad = ec_add_affine(x1, y1, x2, y2, x3, y3);
+            else bad = ec_dbl_affine(x1, y1, x3, y3);
+            if (bad || memcmp(x3, ex, 32) != 0 || memcmp(y3, ey, 32) != 0)
+                return NX_ERR_ARITH;
+            st[S_CNT_ARITH] += 1;
+            if (st[S_LIM_ARITH] && st[S_CNT_ARITH] > st[S_LIM_ARITH])
+                return NX_ERR_OOC_ARITH;
         }
 
         // setters

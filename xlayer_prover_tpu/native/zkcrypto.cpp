@@ -124,14 +124,20 @@ static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
 
 static uint64_t POSEIDON_C[360];
 static uint64_t POSEIDON_M[12][12];
+// entries small enough for the raw-u128 MDS accumulation (see mds())
+static int poseidon_m_small = 0;
 static int poseidon_ready = 0;
 static int POSEIDON_RF = 8;
 static int POSEIDON_RP = 22;
 
 void poseidon_init(const uint64_t *c, const uint64_t *m, int rf, int rp) {
   std::memcpy(POSEIDON_C, c, sizeof(uint64_t) * 12 * (rf + rp));
+  poseidon_m_small = 1;
   for (int i = 0; i < 12; i++)
-    for (int j = 0; j < 12; j++) POSEIDON_M[i][j] = m[i * 12 + j];
+    for (int j = 0; j < 12; j++) {
+      POSEIDON_M[i][j] = m[i * 12 + j];
+      if (POSEIDON_M[i][j] >= (1ULL << 32)) poseidon_m_small = 0;
+    }
   POSEIDON_RF = rf;
   POSEIDON_RP = rp;
   poseidon_ready = 1;
@@ -143,12 +149,38 @@ static inline uint64_t sbox7(uint64_t x) {
   return gl_mul(gl_mul(x4, x2), x);
 }
 
+// The official Poseidon-GL MDS is circulant with entries <= 41 (6 bits):
+// sum_i st[i] * m fits u128 without per-term reduction (12 * 2^70 < 2^74),
+// so the inner loop is raw 64x64 multiplies with ONE reduction per output.
+static inline uint64_t gl_reduce128(__uint128_t w) {
+  uint64_t lo = (uint64_t)w;
+  uint64_t hi = (uint64_t)(w >> 64);
+  uint64_t hi_hi = hi >> 32;
+  uint64_t hi_lo = hi & 0xFFFFFFFFULL;
+  uint64_t t0 = lo - hi_hi;
+  if (lo < hi_hi) t0 -= 0xFFFFFFFFULL;
+  uint64_t t1 = hi_lo * 0xFFFFFFFFULL;
+  uint64_t r = t0 + t1;
+  if (r < t0) r += 0xFFFFFFFFULL;
+  if (r >= GL_P) r -= GL_P;
+  return r;
+}
+
 static void mds(uint64_t *st) {
   uint64_t out[12];
-  for (int j = 0; j < 12; j++) {
-    uint64_t acc = 0;
-    for (int i = 0; i < 12; i++) acc = gl_add(acc, gl_mul(st[i], POSEIDON_M[i][j]));
-    out[j] = acc;
+  if (poseidon_m_small) {
+    for (int j = 0; j < 12; j++) {
+      __uint128_t acc = 0;
+      for (int i = 0; i < 12; i++) acc += ( __uint128_t )st[i] * POSEIDON_M[i][j];
+      out[j] = gl_reduce128(acc);
+    }
+  } else {
+    for (int j = 0; j < 12; j++) {
+      uint64_t acc = 0;
+      for (int i = 0; i < 12; i++)
+        acc = gl_add(acc, gl_mul(st[i], POSEIDON_M[i][j]));
+      out[j] = acc;
+    }
   }
   std::memcpy(st, out, sizeof(out));
 }

@@ -14,6 +14,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import gl
@@ -52,6 +53,49 @@ def _build_levels(rows, width: int):
 def merkelize(rows, width: int) -> MerkleTree:
     """rows: (height, width) uint64 array."""
     return MerkleTree(levels=_build_levels(rows, width), width=width)
+
+
+@jax.jit
+def _absorb_chunk(chunk, digest):
+    """One linear_hash sponge step: permute(chunk8 || digest4)[:4]."""
+    return poseidon.hash_n_to_4(jnp.concatenate([chunk, digest], axis=1))
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _levels_from_leaves(leaves):
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = poseidon.hash_node(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return tuple(levels)
+
+
+def merkelize_np(section_np: np.ndarray, width: int,
+                 keep_levels_np: bool = False) -> MerkleTree:
+    """Streamed tree build over a host-resident section: leaf digests are
+    computed by absorbing RATE-column blocks (device working set = one
+    block + digests), then levels reduce on device.  Bit-identical to
+    merkelize() — linear_hash is the same sponge walked incrementally."""
+    from . import poseidon_constants as pc
+    n = section_np.shape[0]
+    assert section_np.shape[1] == width
+    if width <= pc.CAPACITY:
+        leaves = gl.from_u64_np(
+            np.pad(section_np, ((0, 0), (0, pc.CAPACITY - width))))
+    else:
+        digest = gl.zeros((n, pc.CAPACITY))
+        for s in range(0, width, pc.RATE):
+            blk = section_np[:, s:s + pc.RATE]
+            if blk.shape[1] < pc.RATE:
+                blk = np.pad(blk, ((0, 0), (0, pc.RATE - blk.shape[1])))
+            digest = _absorb_chunk(gl.from_u64_np(np.ascontiguousarray(blk)),
+                                   digest)
+        leaves = digest
+    levels = _levels_from_leaves(leaves)
+    if keep_levels_np:
+        levels = tuple(np.asarray(lv, dtype=np.uint64) for lv in levels)
+    return MerkleTree(levels=levels, width=width)
 
 
 def get_proof(tree: MerkleTree, idx: int):

@@ -248,6 +248,80 @@ def permute_u32(states_u64):
 
 
 # ---------------------------------------------------------------------------
+# Small-entry MDS on the VPU: the official Poseidon-GL MDS is circulant
+# with entries <= 41 (6 bits), so s_i * M[i][j] fits 16x16-bit products —
+# four 16-bit planes of the state, each accumulated over i in uint32
+# (12 terms x 22 bits < 2^26, exact), then one carry composition + one
+# Goldilocks reduction per output.  ~10x fewer VPU ops than 144 full
+# field multiplies.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_small_table():
+    _c, m_np, _f, _o = _tables()
+    assert int(m_np.max()) < (1 << 6), "small-MDS path needs tiny entries"
+    return m_np.astype(np.uint32)
+
+
+def _mds_small(lo, hi):
+    m = jnp.asarray(_mds_small_table())            # (12, 12) u32
+    a0 = jnp.sum((lo & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a1 = jnp.sum((lo >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a2 = jnp.sum((hi & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a3 = jnp.sum((hi >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    n0 = a0 & MASK16
+    t1 = (a0 >> 16) + a1
+    n1 = t1 & MASK16
+    t2 = (t1 >> 16) + a2
+    n2 = t2 & MASK16
+    t3 = (t2 >> 16) + a3
+    n3 = t3 & MASK16
+    top = t3 >> 16                                 # 2^64 overflow digit
+    lo = n0 | (n1 << 16)
+    hi = n2 | (n3 << 16)
+    # top * 2^64 ≡ top * (2^32 - 1) = (top << 32) - top
+    nz = (top != 0).astype(jnp.uint32)
+    return _add(lo, hi, jnp.zeros_like(top) - top, top - nz)
+
+
+@jax.jit
+def permute_small(states_u64):
+    """(batch, 12) uint64 -> (batch, 12): u32-pair S-box + small-entry
+    VPU MDS."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32)
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        lo, hi = _sbox(lo, hi)
+        return _mds_small(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][None, :], cr[1][None, :])
+        s_lo, s_hi = _sbox(lo[:, 0:1], hi[:, 0:1])
+        lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
+        hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
+        return _mds_small(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    lo, hi = st
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+# ---------------------------------------------------------------------------
 # MXU path: the MDS layer as an exact bf16 block-matmul.
 #
 # The 12x12 MDS multiply is where ~90% of the permutation's integer
@@ -260,25 +334,28 @@ def permute_u32(states_u64):
 # ---------------------------------------------------------------------------
 
 N_LIMB = 8          # 8-bit limbs per 64-bit element
-N_OUT = 15          # output limb planes (a + b convolutions)
 
 
 @functools.lru_cache(maxsize=None)
 def _mds_mxu_matrix():
-    """(12*N_LIMB, 12*N_OUT) bf16 block matrix: big[(a*12+i), (k*12+j)] =
-    limb_{k-a}(M[i][j])."""
+    """(12*N_LIMB, 12*n_out) bf16 block matrix: big[(a*12+i), (k*12+j)] =
+    limb_{k-a}(M[i][j]).  n_out adapts to the matrix entry width — the
+    official Poseidon-GL MDS is circulant with entries <= 41 (one 8-bit
+    limb), so the matrix is block-diagonal with n_out = 8."""
     _c, m_np, _f, _o = _tables()
-    big = np.zeros((12 * N_LIMB, 12 * N_OUT), dtype=np.float32)
+    m_bytes = (int(m_np.max()).bit_length() + 7) // 8
+    n_out = N_LIMB + m_bytes - 1
+    big = np.zeros((12 * N_LIMB, 12 * n_out), dtype=np.float32)
     for i in range(12):
         for j in range(12):
             v = int(m_np[i][j])
-            for b in range(N_LIMB):
+            for b in range(m_bytes):
                 limb = (v >> (8 * b)) & 0xFF
                 if limb == 0:
                     continue
                 for a in range(N_LIMB):
                     big[a * 12 + i, (a + b) * 12 + j] = limb
-    return big
+    return big, n_out
 
 
 def _to_limbs_bf16(lo, hi):
@@ -310,19 +387,19 @@ def _sub_pair(alo, ahi, blo, bhi):
     return lo, hi
 
 
-def _from_out_limbs(out_f32):
-    """(batch, N_OUT*12) exact f32 limb sums -> reduced u32 pairs."""
+def _from_out_limbs(out_f32, n_out):
+    """(batch, n_out*12) exact f32 limb sums -> reduced u32 pairs."""
     b = out_f32.shape[0]
     c_int = out_f32.astype(jnp.uint32)              # < 2^23, exact
-    c = c_int.reshape(b, N_OUT, 12)
+    c = c_int.reshape(b, n_out, 12)
     # 8-bit carry composition over 17 byte columns
     bytes_cols = []
     carry = jnp.zeros((b, 12), dtype=jnp.uint32)
-    for mcol in range(N_OUT + 3):
+    for mcol in range(17):
         s = carry
         for j in range(3):
             k = mcol - j
-            if 0 <= k < N_OUT:
+            if 0 <= k < n_out:
                 s = s + ((c[:, k, :] >> (8 * j)) & jnp.uint32(0xFF))
         bytes_cols.append(s & jnp.uint32(0xFF))
         carry = s >> 8
@@ -351,11 +428,12 @@ def _from_out_limbs(out_f32):
 
 def _mds_mxu(lo, hi):
     limbs = _to_limbs_bf16(lo, hi)
-    big = jnp.asarray(_mds_mxu_matrix(), dtype=jnp.bfloat16)
+    big_np, n_out = _mds_mxu_matrix()
+    big = jnp.asarray(big_np, dtype=jnp.bfloat16)
     out = jax.lax.dot_general(limbs, big,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return _from_out_limbs(out)
+    return _from_out_limbs(out, n_out)
 
 
 @jax.jit

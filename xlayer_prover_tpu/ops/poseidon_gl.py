@@ -63,8 +63,9 @@ def _mds(state, m):
 
 
 @jax.jit
-def permute(state):
-    """Poseidon permutation; state = (..., 12) uint64 array."""
+def permute_u64(state):
+    """Poseidon permutation; state = (..., 12) uint64 array (XLA u64
+    emulation — the generic/reference device path)."""
     c, m, is_full, _ = _tables()
 
     def round_fn(st, inp):
@@ -78,6 +79,41 @@ def permute(state):
     state, _ = jax.lax.scan(round_fn, state,
                             (jnp.asarray(c), jnp.asarray(is_full)))
     return state
+
+
+# Backend selection for the hot path (linear_hash / hash_node / Merkle):
+#   u64   — XLA uint64 emulation (reference path, fastest CPU compile)
+#   small — u32-pair S-box + small-entry VPU MDS (pallas_poseidon)
+#   mxu   — u32-pair S-box + exact bf16 limb matmul MDS on the MXU
+# "auto" resolves per jax backend: CPU keeps u64 (native 64-bit ALUs and
+# small compile graphs); TPU uses the small-MDS u32 path (no native u64
+# lanes; measured fastest on v5e — see BENCH_r03).
+import os as _os
+
+_BACKEND = _os.environ.get("XLAYER_POSEIDON_BACKEND", "auto")
+
+
+def _resolve_backend() -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    return "u64" if jax.default_backend() == "cpu" else "small"
+
+
+def permute(state):
+    """Poseidon permutation; state = (..., 12) uint64 array.  Dispatches
+    to the fastest exact backend for the active device (all backends are
+    bit-identical; tests/test_pallas_poseidon.py pins them to each other
+    and to the host oracle)."""
+    kind = _resolve_backend()
+    if kind == "u64":
+        return permute_u64(state)
+    from . import pallas_poseidon as pp
+    fn = {"small": pp.permute_small, "mxu": pp.permute_mxu,
+          "u32": pp.permute_u32}[kind]
+    if state.ndim == 2:
+        return fn(state)
+    lead = state.shape[:-1]
+    return fn(state.reshape(-1, WIDTH)).reshape(*lead, WIDTH)
 
 
 def hash_n_to_4(inputs):

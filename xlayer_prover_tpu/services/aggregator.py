@@ -45,7 +45,8 @@ CHANNEL_METHOD = "/aggregator.v1.AggregatorService/Channel"
 class AggregatorClient:
     def __init__(self, prover: ProverService, host: str, port: int,
                  prover_name: str = "tpu-prover", fork_id: int = 9,
-                 input_decoder: Optional[Callable] = None):
+                 input_decoder: Optional[Callable] = None,
+                 watchdog_timeout_s: float = 0.0):
         self.prover = prover
         self.input_decoder = input_decoder
         self.target = f"{host}:{port}"
@@ -54,6 +55,11 @@ class AggregatorClient:
         self.fork_id = fork_id
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # guard message processing like the reference (aggregator_client.cpp:5
+        # wraps the stream handlers in a Watchdog); a wedged handler cancels
+        # the in-flight proof and drops the stream for a clean reconnect
+        self.watchdog_timeout_s = watchdog_timeout_s
+        self._watchdog = None
 
     def start(self):
         self._thread = threading.Thread(target=self._run_forever, daemon=True)
@@ -93,12 +99,27 @@ class AggregatorClient:
                 yield msg
 
         responses = stub(request_iter())
-        for agg_msg in responses:
-            reply = self._handle(agg_msg)
-            outbox.put(reply)
-            if self._stop.is_set():
-                outbox.put(None)
-                break
+        if self.watchdog_timeout_s > 0:
+            from ..utils.watchdog import Watchdog
+            self._watchdog = Watchdog(
+                self.watchdog_timeout_s,
+                on_timeout=lambda: channel.close(),
+                name=f"aggregator-client[{self.prover_name}]").start()
+        try:
+            for agg_msg in responses:
+                if self._watchdog is not None:
+                    self._watchdog.feed()
+                reply = self._handle(agg_msg)
+                if self._watchdog is not None:
+                    self._watchdog.feed()
+                outbox.put(reply)
+                if self._stop.is_set():
+                    outbox.put(None)
+                    break
+        finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
 
     # -- message handling ----------------------------------------------
     def _handle(self, msg) -> "pb.ProverMessage":

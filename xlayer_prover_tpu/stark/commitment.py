@@ -42,8 +42,11 @@ class GLScheme:
     def transcript(self):
         return Transcript()
 
-    def merkelize(self, rows_dev, width: int):
-        return merkle_gl.merkelize(rows_dev, width)
+    def merkelize(self, rows, width: int):
+        if isinstance(rows, np.ndarray):
+            # host-resident section: streamed absorption, bit-identical
+            return merkle_gl.merkelize_np(rows, width, keep_levels_np=True)
+        return merkle_gl.merkelize(rows, width)
 
     def root(self, tree) -> List[int]:
         return [int(v) for v in tree.root_np()]

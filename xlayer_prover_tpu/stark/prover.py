@@ -37,7 +37,12 @@ P = gl.P
 
 @dataclasses.dataclass
 class Setup:
-    """Preprocessed data: constant polynomials, their LDE and tree (verkey)."""
+    """Preprocessed data: constant polynomials, their LDE and tree (verkey).
+
+    On the host (eager-numpy) pipeline, `const_n`/`const_ext` are None and
+    everything lives in the numpy fields — sections are streamed through
+    the device in column blocks instead of held twice (the TPU-side
+    replacement for the reference's single 51 GB shared buffer)."""
     air: object
     const_n: tuple
     const_ext: tuple
@@ -47,10 +52,24 @@ class Setup:
     verkey: list
 
     @staticmethod
-    def build(air, const_np: np.ndarray) -> "Setup":
+    def build(air, const_np: np.ndarray, host: bool = None) -> "Setup":
         assert const_np.shape == (air.n, air.const_width)
         scheme = get_scheme(air)
-        const_n = gl.from_u64_np(const_np.astype(np.uint64))
+        if host is None:
+            host = not _use_jit_pipelines()
+        const_np = const_np.astype(np.uint64)
+        if host and scheme.name == "gl":
+            if air.const_width:
+                const_ext_np = ntt.extend_pol_np(const_np, air.n_bits_ext)
+            else:
+                const_ext_np = np.zeros((air.n_ext, 0), dtype=np.uint64)
+            tree = merkle.merkelize_np(const_ext_np, air.const_width,
+                                       keep_levels_np=True)
+            return Setup(air=air, const_n=None, const_ext=None,
+                         const_tree=tree, const_ext_np=const_ext_np,
+                         const_n_np=const_np,
+                         verkey=scheme.root(tree))
+        const_n = gl.from_u64_np(const_np)
         if air.const_width:
             const_ext = ntt.extend_pol(const_n, air.n_bits_ext)
         else:
@@ -59,8 +78,20 @@ class Setup:
         return Setup(air=air, const_n=const_n, const_ext=const_ext,
                      const_tree=tree,
                      const_ext_np=gl.to_u64_np(const_ext),
-                     const_n_np=const_np.astype(np.uint64),
+                     const_n_np=const_np,
                      verkey=scheme.root(tree))
+
+
+def _const_n_dev(setup):
+    if setup.const_n is not None:
+        return setup.const_n
+    return gl.from_u64_np(setup.const_n_np)
+
+
+def _const_ext_dev(setup):
+    if setup.const_ext is not None:
+        return setup.const_ext
+    return gl.from_u64_np(setup.const_ext_np)
 
 
 def _domain_x(n_bits: int, shift: int = 1):
@@ -74,27 +105,23 @@ def _l1_values_n(n: int):
 
 
 def _l1_values_ext(air):
-    """L1 on the ext coset: (x^N - 1) / (N (x - 1)), host-exact then tiled.
-
-    x^N depends only on k mod blowup (w_ext^N has order blowup), but x - 1
-    varies per point, so compute the full table host-side once per air.
-    """
+    """L1 on the ext coset: (x^N - 1) / (N (x - 1)), exact, vectorized
+    (numpy power tables + device batch inverse — the old per-point python
+    modexp loop cost minutes at 2^21)."""
+    from ..ops.ntt import _np_modmul, _np_pow_table
     n, n_ext = air.n, air.n_ext
     w_ext = gl.host_w(air.n_bits_ext)
     inv_n = gl.host_inv(n)
-    vals = np.empty(n_ext, dtype=np.uint64)
-    x = gl.SHIFT % P
-    xn = pow(gl.SHIFT, n, P)
+    xs = _np_modmul(_np_pow_table(w_ext, n_ext), np.uint64(gl.SHIFT % P))
     wn = pow(w_ext, n, P)
-    cur_xn = xn
-    xs = x
-    for k in range(n_ext):
-        num = (cur_xn - 1) % P
-        den = (xs - 1) % P
-        vals[k] = (num * pow(den, P - 2, P) * inv_n) % P
-        cur_xn = (cur_xn * wn) % P
-        xs = (xs * w_ext) % P
-    return gl.from_u64_np(vals)
+    xn = _np_modmul(_np_pow_table(wn, n_ext),
+                    np.uint64(pow(gl.SHIFT, n, P)))
+    one = np.uint64(1)
+    pm1 = np.uint64(P - 1)
+    num = np.where(xn >= one, xn - one, pm1)
+    den = np.where(xs >= one, xs - one, pm1)
+    inv_den = gl.batch_inv(gl.from_u64_np(den))
+    return gl.mul_const(gl.mul(gl.from_u64_np(num), inv_den), inv_n)
 
 
 def _zi_values_ext(air):
@@ -331,15 +358,26 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     # ---- round 1: cm1 (reference STARK_STEP_1, starks.cpp:53-60) ------
     t_r1 = timer("stark.step1_lde_merkle", log=True)
     t_r1.__enter__()
-    cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
-    cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)
+    if host:
+        # host pipeline: every ext section is ONE numpy array; the LDE and
+        # Merkle leaf hashing stream column blocks through the device
+        # (the section plan replacing the reference's 51 GB buffer)
+        cm1_np = cm1_np.astype(np.uint64)
+        cm1_n = None
+        cm1_ext = ntt.extend_pol_np(cm1_np, air.n_bits_ext)
+    else:
+        cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
+        cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)
     tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
     root1 = scheme.root(tree1)
     transcript.put(root1)
     t_r1.__exit__(None, None, None)
 
-    sections_n = {"const": setup.const_n, "cm1": cm1_n}
-    sections_ext = {"const": setup.const_ext, "cm1": cm1_ext}
+    sections_n = {"const": None if host else _const_n_dev(setup),
+                  "cm1": cm1_n}
+    sections_ext = {"const": setup.const_ext_np if host
+                    else _const_ext_dev(setup),
+                    "cm1": cm1_ext}
 
     # ---- round 2: plookup h1/h2 --------------------------------------
     challenges[CH_U] = _challenge_triple(transcript)
@@ -347,10 +385,9 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
 
     def env_n():
         if host:
-            secs = {"const": setup.const_n_np,
-                    "cm1": cm1_np.astype(np.uint64)}
+            secs = {"const": setup.const_n_np, "cm1": cm1_np}
             if "cm2" in sections_n:
-                secs["cm2"] = gl.to_u64_np(sections_n["cm2"])
+                secs["cm2"] = sections_n["cm2"]
             return EvalEnv(secs, _host_challenges(challenges),
                            [np.uint64(p) for p in publics],
                            gl.to_u64_np(x_n), gl.to_u64_np(l1_n), 1,
@@ -370,7 +407,7 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
             d = f_np.shape[1]
             cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
             cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
-        cm2_n = gl.from_u64_np(cm2_np)
+        cm2_n = cm2_np
     else:
         # device multiset split: everything stays on-chip (lax.sort)
         import jax.numpy as jnp
@@ -388,7 +425,10 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
         if bad_total is not None:
             assert int(bad_total) == 0, \
                 "plookup: f contains values missing from t"
-    if air.cm2_width:
+    if host:
+        cm2_ext = ntt.extend_pol_np(cm2_np, air.n_bits_ext) \
+            if air.cm2_width else np.zeros((n_ext, 0), dtype=np.uint64)
+    elif air.cm2_width:
         cm2_ext = ntt.extend_pol(cm2_n, air.n_bits_ext)
     else:
         cm2_ext = gl.zeros((n_ext, 0))
@@ -476,31 +516,48 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
             triple = v
         im_fills.append((col, triple))
 
-    cm3_n = gl.zeros((n, air.cm3_width))
-    for (col, triple) in im_fills:
-        if isinstance(triple[0], np.ndarray):
-            triple = tuple(gl.from_u64_np(c) for c in triple)
-        cm3_n = _set_cols(cm3_n, col.index, triple)
-    for (zcol, num_v, den_v) in z_triples:
-        if host:
+    if host:
+        cm3_np = np.zeros((n, air.cm3_width), dtype=np.uint64)
+        for (col, triple) in im_fills:
+            for k in range(3):
+                cm3_np[:, col.index + k] = np.asarray(triple[k],
+                                                      dtype=np.uint64)
+        for (zcol, num_v, den_v) in z_triples:
             from ..fields import glh
             num_v = tuple(np.asarray(v, dtype=np.uint64) for v in num_v)
             den_v = tuple(np.asarray(v, dtype=np.uint64) for v in den_v)
             ratios = tuple(gl.from_u64_np(c) for c in
                            glh.mul3(num_v, glh.inv3(den_v)))
-        else:
-            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
-        z = _exclusive_prefix_product(ratios)
-        cm3_n = _set_cols(cm3_n, zcol.index, z)
-
-    if air.cm3_width:
-        cm3_ext = ntt.extend_pol(cm3_n, air.n_bits_ext)
+            z = _exclusive_prefix_product(ratios)
+            for k in range(3):
+                cm3_np[:, zcol.index + k] = np.asarray(z[k], dtype=np.uint64)
+        cm3_n = cm3_np
+        cm3_ext = ntt.extend_pol_np(cm3_np, air.n_bits_ext) \
+            if air.cm3_width else np.zeros((n_ext, 0), dtype=np.uint64)
     else:
-        cm3_ext = gl.zeros((n_ext, 0))
+        cm3_n = gl.zeros((n, air.cm3_width))
+        for (col, triple) in im_fills:
+            if isinstance(triple[0], np.ndarray):
+                triple = tuple(gl.from_u64_np(c) for c in triple)
+            cm3_n = _set_cols(cm3_n, col.index, triple)
+        for (zcol, num_v, den_v) in z_triples:
+            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
+            z = _exclusive_prefix_product(ratios)
+            cm3_n = _set_cols(cm3_n, zcol.index, z)
+
+        if air.cm3_width:
+            cm3_ext = ntt.extend_pol(cm3_n, air.n_bits_ext)
+        else:
+            cm3_ext = gl.zeros((n_ext, 0))
     tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
     root3 = scheme.root(tree3)
     transcript.put(root3)
     sections_n["cm3"] = cm3_n
+    if host:
+        # rounds 4-5 and FRI only read the extended domain: drop the
+        # natural-domain sections to bound peak RSS at scale
+        sections_n = {}
+        cm2_n = cm2_np = cm3_n = cm3_np = None
     sections_ext["cm3"] = cm3_ext
     t_r3.__exit__(None, None, None)
 
@@ -510,14 +567,14 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     t_r4.__enter__()
     publics_arr = gl.from_u64_np(np.array(publics + [0], dtype=np.uint64))
     if host:
-        sections_ext_np = {k: gl.to_u64_np(v)
-                           for k, v in sections_ext.items()}
-        cm4_ext = _host_quotient(air, setup, sections_ext_np, challenges,
-                                 publics, x_ext, l1_ext, zi_ext)
-        sections_ext_np["cm4"] = gl.to_u64_np(cm4_ext)
+        sections_ext_np = sections_ext      # already numpy on the host path
+        cm4_ext = gl.to_u64_np(_host_quotient(
+            air, setup, sections_ext_np, challenges, publics, x_ext, l1_ext,
+            zi_ext))
+        sections_ext_np["cm4"] = cm4_ext
     else:
         jits = get_air_jits(air)
-        cm4_ext = jits["quotient"](setup.const_ext, cm1_ext, cm2_ext,
+        cm4_ext = jits["quotient"](sections_ext["const"], cm1_ext, cm2_ext,
                                    cm3_ext, _challenges_array(challenges),
                                    publics_arr, x_ext, l1_ext, zi_ext)
     tree4 = scheme.merkelize(cm4_ext, air.cm4_width)
@@ -616,8 +673,9 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
         root1 = scheme.root(tree1)
         transcript.put(root1)
-        sections_n = {"const": setup.const_n, "cm1": cm1_n}
-        sections_ext = {"const": shard(setup.const_ext), "cm1": cm1_ext}
+        sections_n = {"const": _const_n_dev(setup), "cm1": cm1_n}
+        sections_ext = {"const": shard(_const_ext_dev(setup)),
+                        "cm1": cm1_ext}
 
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_r2", log=True)
@@ -924,7 +982,7 @@ def _challenges_array(challenges: dict):
 
 def _round5_with(jits, setup, sections_ext, challenges, publics_arr, x_ext,
                  l1_ext):
-    return jits["round5"](setup.const_ext, sections_ext["cm1"],
+    return jits["round5"](sections_ext["const"], sections_ext["cm1"],
                           sections_ext["cm2"], sections_ext["cm3"],
                           sections_ext["cm4"], _challenges_array(challenges),
                           publics_arr, x_ext, l1_ext)

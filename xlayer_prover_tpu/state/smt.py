@@ -38,13 +38,25 @@ P = gl.P
 ZERO4 = (0, 0, 0, 0)
 
 
-def split_key(key) -> List[int]:
-    """256 path bits in SMT order (interleaved limbs)."""
+import functools
+
+
+@functools.lru_cache(maxsize=8192)
+def _split_key_cached(k0: int, k1: int, k2: int, k3: int):
     bits = []
     for i in range(64):
-        for j in range(4):
-            bits.append((int(key[j]) >> i) & 1)
-    return bits
+        bits.append((k0 >> i) & 1)
+        bits.append((k1 >> i) & 1)
+        bits.append((k2 >> i) & 1)
+        bits.append((k3 >> i) & 1)
+    return tuple(bits)
+
+
+def split_key(key) -> List[int]:
+    """256 path bits in SMT order (interleaved limbs).  Storage slots
+    repeat heavily within a batch, so the decomposition is memoized."""
+    return list(_split_key_cached(int(key[0]), int(key[1]),
+                                  int(key[2]), int(key[3])))
 
 
 def join_key(used_bits: List[int], rkey) -> Tuple[int, int, int, int]:
