@@ -112,3 +112,68 @@ def test_full_tracer_events():
     assert tx.state_root == 77
     assert batch.new_state_root == 77
     assert batch.error == "" or batch.invalid_batch in (True, False)
+
+
+def test_trace_config_opcode_steps():
+    """TraceConfigV2 -> per-opcode TransactionStepV2 records (reference
+    full_tracer.cpp onOpcode + trace_config.hpp gating)."""
+    from xlayer_prover_tpu.executor.full_tracer import (FullTracer,
+                                                        TraceConfig)
+
+    class Regs:
+        GAS = 99_000
+        SR = [1, 0, 0, 0, 0, 0, 0, 0]
+        CTX = 1
+        SP = 2
+
+    class Ctx:
+        regs = Regs()
+        mem = {}
+
+    ctx = Ctx()
+    base_stack = 1 * FullTracer.CTX_OFFSET + FullTracer.STACK_OFFSET
+    ctx.mem[base_stack] = [5, 0, 0, 0, 0, 0, 0, 0]
+    ctx.mem[base_stack + 1] = [6, 0, 0, 0, 0, 0, 0, 0]
+
+    cfg = TraceConfig(enabled=True, enable_memory=True)
+    tr = FullTracer(trace_config=cfg)
+    tr.on_start_block(ctx, [])
+    tr.on_process_tx(ctx, [])
+    assert tr.current_tx.full_trace
+    tr.on_opcode(ctx, [0x60])           # PUSH1
+    ctx.regs.GAS = 98_997
+    tr.on_opcode(ctx, [0x01])           # ADD
+    tx = tr.current_tx
+    assert len(tx.steps) == 2
+    assert tx.steps[0].op == 0x60 and tx.steps[1].op == 0x01
+    assert tx.steps[0].gas_cost == 3    # retro-filled from the gas delta
+    assert tx.steps[0].stack == [5, 6]  # CTX-relative stack snapshot
+    assert tx.steps[0].depth == 1
+    # call-depth tracking
+    tr.on_opcode(ctx, [0xF1])           # CALL
+    tr.on_opcode(ctx, [0x01])
+    assert tx.steps[-1].depth == 2
+    tr.on_opcode(ctx, [0xF3])           # RETURN
+    tr.on_opcode(ctx, [0x01])
+    assert tx.steps[-1].depth == 1
+
+    # gating: disabled stack, no config -> no steps
+    tr2 = FullTracer(trace_config=TraceConfig(enabled=True,
+                                              disable_stack=True))
+    tr2.on_start_block(ctx, [])
+    tr2.on_process_tx(ctx, [])
+    tr2.on_opcode(ctx, [0x60])
+    assert tr2.current_tx.steps[0].stack == []
+    tr3 = FullTracer()                  # tracing off by default
+    tr3.on_start_block(ctx, [])
+    tr3.on_process_tx(ctx, [])
+    tr3.on_opcode(ctx, [0x60])
+    assert tr3.current_tx.steps == []
+    assert tr3.current_tx.opcodes == 1
+
+    # per-tx-hash selection
+    cfg4 = TraceConfig(enabled=True, tx_hash_to_generate_full_trace=1234)
+    tr4 = FullTracer(trace_config=cfg4)
+    tr4.on_start_block(ctx, [])
+    tr4.on_process_tx(ctx, [])          # txHash var missing -> 0 != 1234
+    assert not tr4.current_tx.full_trace

@@ -46,6 +46,43 @@ class LogEntry:
 
 
 @dataclasses.dataclass
+class TraceConfig:
+    """executor.proto TraceConfigV2 / src/prover/trace_config.hpp."""
+    enabled: bool = False
+    disable_storage: bool = False
+    disable_stack: bool = False
+    enable_memory: bool = False
+    enable_return_data: bool = False
+    tx_hash_to_generate_full_trace: int = 0
+
+    def generate_for(self, tx_hash: int) -> bool:
+        if not self.enabled:
+            return False
+        if self.tx_hash_to_generate_full_trace:
+            return int(tx_hash) == int(self.tx_hash_to_generate_full_trace)
+        return True
+
+
+@dataclasses.dataclass
+class OpcodeStep:
+    """One EVM opcode record (executor.proto TransactionStepV2;
+    full_tracer.cpp onOpcode)."""
+    op: int = 0
+    pc: int = 0
+    gas: int = 0
+    gas_cost: int = 0
+    gas_refund: int = 0
+    depth: int = 1
+    state_root: int = 0
+    stack: List[int] = dataclasses.field(default_factory=list)
+    memory: bytes = b""
+    memory_size: int = 0
+    return_data: bytes = b""
+    storage: Dict[int, int] = dataclasses.field(default_factory=dict)
+    error: str = ""
+
+
+@dataclasses.dataclass
 class TxTrace:
     tx_index: int = 0
     tx_hash: int = 0
@@ -58,6 +95,8 @@ class TxTrace:
     logs: List[LogEntry] = dataclasses.field(default_factory=list)
     storage: Dict[int, int] = dataclasses.field(default_factory=dict)
     opcodes: int = 0
+    steps: List[OpcodeStep] = dataclasses.field(default_factory=list)
+    full_trace: bool = False
 
 
 @dataclasses.dataclass
@@ -97,24 +136,39 @@ INVALID_BATCH_ERRORS = {
 class FullTracer:
     """Collects the execution trace via the ROM's eventLog hooks."""
 
-    def __init__(self, rom=None):
+    CTX_OFFSET = 0x40000       # main_executor.cpp:46 address spaces
+    STACK_OFFSET = 0x10000
+    MEM_OFFSET = 0x20000
+
+    # opcodes that open / close a call frame (depth tracking,
+    # full_tracer.cpp onOpcode)
+    _CALL_OPS = {0xF0, 0xF1, 0xF2, 0xF4, 0xF5, 0xFA}   # CREATE/CALL family
+    _RET_OPS = {0x00, 0xF3, 0xFD, 0xFF}                # STOP/RETURN/REVERT/SD
+
+    def __init__(self, rom=None, trace_config: Optional[TraceConfig] = None):
         self.batch = BatchTrace()
         self.current_block: Optional[BlockTrace] = None
         self.current_tx: Optional[TxTrace] = None
         self.tx_count = 0
         self.log_index = 0
+        self.config = trace_config or TraceConfig()
+        self.call_depth = 1
         self._var_offsets = {}
         if rom is not None:
             for line in rom.program:
                 if line.offset_label and line.offset_label \
                         not in self._var_offsets:
-                    self._var_offsets[line.offset_label] = line.offset
+                    self._var_offsets[line.offset_label] = \
+                        (line.offset, bool(line.flag("useCTX")))
 
     # -- helpers ---------------------------------------------------------
     def _mem_var(self, ctx, name: str, default: int = 0) -> int:
-        off = self._var_offsets.get(name)
-        if off is None:
+        hit = self._var_offsets.get(name)
+        if hit is None:
             return default
+        off, use_ctx = hit
+        if use_ctx:
+            off += int(ctx.regs.CTX) * self.CTX_OFFSET
         return _fea(ctx.mem.get(off, [0] * 8))
 
     # -- event dispatch (called from rom_functions.event_log) ------------
@@ -146,6 +200,8 @@ class FullTracer:
             from_addr=self._mem_var(ctx, "txSrcOriginAddr") & MASK160,
             gas_left=int(ctx.regs.GAS) % P,
         )
+        tx.full_trace = self.config.generate_for(tx.tx_hash)
+        self.call_depth = 1
         self.tx_count += 1
         self.current_tx = tx
         self.current_block.responses.append(tx)
@@ -188,6 +244,8 @@ class FullTracer:
             self.batch.error = err
         elif self.current_tx is not None:
             self.current_tx.error = err
+            if self.current_tx.steps:
+                self.current_tx.steps[-1].error = err
         elif self.current_block is not None:
             self.current_block.error = err
         else:
@@ -198,8 +256,55 @@ class FullTracer:
             self.current_tx.storage[int(values[0])] = int(values[1])
 
     def on_opcode(self, ctx, values):
-        if self.current_tx is not None:
-            self.current_tx.opcodes += 1
+        tx = self.current_tx
+        if tx is None:
+            return
+        tx.opcodes += 1
+        if not tx.full_trace:
+            return
+        # per-opcode record (full_tracer.cpp onOpcode; TransactionStepV2)
+        op = int(values[0]) if values else 0
+        step = OpcodeStep(
+            op=op,
+            pc=self._mem_var(ctx, "lastPC"),
+            gas=int(ctx.regs.GAS) % P,
+            gas_refund=self._mem_var(ctx, "gasRefund"),
+            depth=self.call_depth,
+            state_root=_fea(ctx.regs.SR),
+        )
+        if tx.steps:
+            prev = tx.steps[-1]
+            if prev.gas >= step.gas:
+                prev.gas_cost = prev.gas - step.gas
+        if not self.config.disable_stack:
+            step.stack = self._stack_snapshot(ctx)
+        if self.config.enable_memory:
+            step.memory, step.memory_size = self._memory_snapshot(ctx)
+        if not self.config.disable_storage:
+            step.storage = dict(tx.storage)
+        tx.steps.append(step)
+        if op in self._CALL_OPS:
+            self.call_depth += 1
+        elif op in self._RET_OPS and self.call_depth > 1:
+            self.call_depth -= 1
+
+    def _stack_snapshot(self, ctx) -> List[int]:
+        """EVM stack words: the isStack region of the current context up
+        to SP (main_executor.cpp address spaces)."""
+        base = int(ctx.regs.CTX) * self.CTX_OFFSET + self.STACK_OFFSET
+        sp = int(ctx.regs.SP)
+        return [_fea(ctx.mem.get(base + i, [0] * 8))
+                for i in range(min(sp, 1024))]
+
+    def _memory_snapshot(self, ctx):
+        """EVM memory bytes: the isMem region, memLength 32-byte words."""
+        n_words = self._mem_var(ctx, "memLength")
+        n_words = min(int(n_words), 1 << 16)
+        base = int(ctx.regs.CTX) * self.CTX_OFFSET + self.MEM_OFFSET
+        out = b"".join(
+            _fea(ctx.mem.get(base + i, [0] * 8)).to_bytes(32, "big")
+            for i in range(n_words))
+        return out, 32 * n_words
 
     def on_store_log(self, ctx, index: int, is_topic: int, data: int):
         """LOG0..4 collection (full_tracer.cpp onStoreLog)."""

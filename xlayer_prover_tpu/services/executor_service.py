@@ -92,7 +92,8 @@ class ExecutorServiceImpl:
                     return resp
                 rom = main.rom
             ctx = ExCtx(rom, self.hashdb, uuid, input_vars)
-            ctx.full_tracer = FullTracer(rom)
+            ctx.full_tracer = FullTracer(rom,
+                                         trace_config=_trace_config(request))
             main.execute(ctx, self.executor.start_label,
                          self.executor.stop_label)
             new_root = 0
@@ -134,6 +135,32 @@ class ExecutorServiceImpl:
         return resp
 
     @staticmethod
+    def _fill_full_trace(t, tx):
+        """Per-opcode steps -> FullTraceV2 (executor.proto:418-493)."""
+        ft = t.full_trace
+        ft.gas_used = tx.gas_used
+        ft.old_state_root = (tx.steps[0].state_root if tx.steps else
+                             0).to_bytes(32, "big")
+        ft.tx_index = tx.tx_index
+        for step in tx.steps:
+            s = ft.steps.add()
+            s.state_root = step.state_root.to_bytes(32, "big")
+            s.depth = step.depth
+            s.pc = step.pc
+            s.gas = step.gas
+            s.gas_cost = step.gas_cost
+            s.gas_refund = step.gas_refund
+            s.op = step.op
+            for w in step.stack:
+                s.stack.append(hex(w))
+            if step.memory:
+                s.memory = step.memory
+                s.memory_size = step.memory_size
+            for k, v in step.storage.items():
+                s.storage[f"{k:064x}"] = f"{v:064x}"
+            s.error = _rom_error_code(step.error)
+
+    @staticmethod
     def _fill_trace(resp, ctx):
         """FullTracer -> ProcessBatchResponseV2 block/tx/log structures
         (executor.proto:331-573)."""
@@ -170,6 +197,8 @@ class ExecutorServiceImpl:
                     l.index = lg.index
                     l.tx_index = lg.tx_index
                     l.block_number = lg.block_number
+                if tx.full_trace and tx.steps:
+                    ExecutorServiceImpl._fill_full_trace(t, tx)
 
     def process_stateless_batch_v2(self, request, context):
         """ProcessStatelessBatchV2 (executor.proto:13): rebuild the state
@@ -272,6 +301,24 @@ _ROM_ERRORS = {
 def _rom_error_code(name: str) -> int:
     return _ROM_ERRORS.get(name, pb.ROM_ERROR_UNSPECIFIED
                            if name else pb.ROM_ERROR_NO_ERROR)
+
+
+def _trace_config(request):
+    """Proto TraceConfigV2 -> executor TraceConfig (absence = disabled:
+    the reference only collects opcode traces when the request asks,
+    executor_service.cpp TraceConfig mapping)."""
+    from ..executor.full_tracer import TraceConfig
+    if not request.HasField("trace_config"):
+        return TraceConfig()
+    tc = request.trace_config
+    return TraceConfig(
+        enabled=True,
+        disable_storage=bool(tc.disable_storage),
+        disable_stack=bool(tc.disable_stack),
+        enable_memory=bool(tc.enable_memory),
+        enable_return_data=bool(tc.enable_return_data),
+        tx_hash_to_generate_full_trace=int.from_bytes(
+            tc.tx_hash_to_generate_full_trace, "big"))
 
 
 class ExecutorServer:
