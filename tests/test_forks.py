@@ -1,8 +1,9 @@
 """Fork dispatch: per-fork ROM bundles through one table-driven
 interpreter (reference executor.cpp:23-377 fork routing, SURVEY A.8).
 
-Forks 7 and 8 execute their reference e2e testvectors bit-exactly
-(state-root parity); unsupported forks are rejected at the service with
+Forks 6 (V1 input layout: globalExitRoot/timestamp), 7 and 8 execute
+their reference e2e testvectors bit-exactly (state-root + accInputHash
+parity); unknown fork ids are rejected at the service with
 EXECUTOR_ERROR_UNSUPPORTED_FORK_ID.
 """
 
@@ -27,7 +28,7 @@ def registry():
     return ForkRegistry(max_steps=4_000_000)
 
 
-@pytest.mark.parametrize("fork", [7, 8])
+@pytest.mark.parametrize("fork", [6, 7, 8])
 def test_fork_state_root_parity(registry, fork):
     ex = registry.executor(fork)
     assert ex is not None
@@ -44,9 +45,12 @@ def test_fork_state_root_parity(registry, fork):
     assert fea_to_scalar(ctx.regs.D) == int(raw["newAccInputHash"], 16)
 
 
-def test_old_forks_rejected(registry):
-    assert registry.executor(3) is None
-    assert not registry.supported(6)
+def test_all_reference_forks_load(registry):
+    # every frozen fork ROM loads through the table-driven interpreter
+    for fork in range(1, 10):
+        assert registry.supported(fork), fork
+        assert registry.rom(fork) is not None
+    assert not registry.supported(99)
 
 
 def test_service_fork_rejection():
@@ -60,6 +64,6 @@ def test_service_fork_rejection():
                          "constants": {}})
     impl = ExecutorServiceImpl(Executor(rom, n_bits=11, max_steps=4),
                                HashDB())
-    req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32, fork_id=3)
+    req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32, fork_id=99)
     resp = impl.process_batch_v2(req, None)
     assert resp.error == pb.EXECUTOR_ERROR_UNSUPPORTED_FORK_ID

@@ -6,9 +6,10 @@ rom.json} per fork and dispatches on input.publicInputs.forkID
 table-driven, so one engine serves every fork whose rom.json + input
 semantics it understands: forks 7-9 execute their reference e2e
 testvectors bit-exactly (state-root parity, see tests/test_forks.py);
-forks <= 6 use the V1 input layout (globalExitRoot/timestamp publics)
-and are rejected until that mapping lands — mirroring the reference's
-V1/V2 service split (executor_service.cpp:98-101).
+forks 4-6 use the V1 input layout (globalExitRoot/timestamp/
+batchHashData publics), mapped by BatchInput; forks 1-3 load but ship no
+e2e vectors — the reference likewise only keeps them for process_batch
+(executor.cpp:23-377, V1/V2 service split executor_service.cpp:98-101).
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from .main_sm import MainExecutor
 from .rom import Rom
 
 DEFAULT_ROM_DIR = "/root/reference/src/main_sm"
-SUPPORTED_FORKS = (7, 8, 9)
+SUPPORTED_FORKS = (1, 2, 3, 4, 5, 6, 7, 8, 9)
 CURRENT_FORK = 9
 
 

@@ -37,6 +37,10 @@ class BatchInput:
     timestamp_limit: int = 0
     l1_info_root: int = 0
     forced_blockhash_l1: int = 0
+    # V1 publics (forks <= 6; reference executor.cpp:23-377 input layout)
+    global_exit_root: int = 0
+    timestamp: int = 0
+    batch_hash_data: int = 0
     db: dict = dataclasses.field(default_factory=dict)
     contracts_bytecode: dict = dataclasses.field(default_factory=dict)
 
@@ -60,6 +64,9 @@ class BatchInput:
             timestamp_limit=_as_int(j.get("timestampLimit")),
             l1_info_root=_as_int(j.get("l1InfoRoot")),
             forced_blockhash_l1=_as_int(j.get("forcedBlockHashL1")),
+            global_exit_root=_as_int(j.get("globalExitRoot")),
+            timestamp=_as_int(j.get("timestamp")),
+            batch_hash_data=_as_int(j.get("batchHashData")),
             db=j.get("db", {}),
             contracts_bytecode=j.get("contractsBytecode", {}),
         )
@@ -72,6 +79,9 @@ class BatchInput:
             "l1InfoRoot": self.l1_info_root,
             "forcedBlockHashL1": self.forced_blockhash_l1,
             "oldStateRoot": self.old_state_root,
+            "globalExitRoot": self.global_exit_root,
+            "timestamp": self.timestamp,
+            "batchHashData": self.batch_hash_data,
         }
 
     def load_db(self, hashdb):
