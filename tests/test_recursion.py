@@ -37,6 +37,22 @@ def test_verifier_circuit_witness(inner):
         [p % P for p in proof.publics]
 
 
+def test_is_zero_gadget():
+    from xlayer_prover_tpu.recursion.circuit import Tracer
+    t = Tracer()
+    a, b = t.inputs(2)
+    za = t.is_zero(a)
+    eq = t.all_eq([a, b], [t.zero, t.constant(5)])
+    t.mark_public(za)
+    t.mark_public(eq)
+    vals = t.run([0, 5])
+    assert vals[za] == 1 and vals[eq] == 1
+    vals = t.run([3, 5])
+    assert vals[za] == 0 and vals[eq] == 0
+    vals = t.run([0, 6])
+    assert vals[eq] == 0
+
+
 def test_verifier_circuit_rejects_tampered(inner):
     air, setup, proof, _cm1, _pub = inner
     tracer, pw = build_verifier_circuit(air, setup.verkey)
@@ -58,18 +74,28 @@ def test_recursive1_proof(inner, rec1):
     air, setup, proof, _cm1, _pub = inner
     rproof = rec1.prove(proof)
     assert rec1.verify(rproof)
-    assert rproof.publics == [p % P for p in proof.publics]
+    # leaf marker + inner publics
+    assert rproof.publics == [0, 0, 0, 0] + [p % P for p in proof.publics]
 
 
 @pytest.mark.slow
-def test_recursive2_aggregation(inner, rec1):
-    """The A.7 pattern in miniature: two batch proofs -> recursive1 each ->
-    one recursive2 aggregate that the native verifier accepts."""
+def test_recursive2_shape_stable_aggregation(inner):
+    """The A.7 pattern with an UNBALANCED tree: three batch proofs ->
+    recursive1 each -> agg(agg(p1, p2), p3) through ONE shape-stable
+    recursive2 engine (mixed leaf/aggregate children)."""
+    from xlayer_prover_tpu.recursion.engine import build_recursion_pair
     air, setup, proof, cm1_np, publics = inner
-    p1 = rec1.prove(proof)
-    proof_b = prover.gen_proof(setup, cm1_np, publics)
-    p2 = rec1.prove(proof_b)
-    agg = Recursive2(rec1.air, rec1.verkey, n_queries=4)
-    aproof = agg.prove(p1, p2)
-    assert agg.verify(aproof)
-    assert aproof.publics == p1.publics + p2.publics
+    r1, r2 = build_recursion_pair(air, setup.verkey, n_queries=4)
+    # shapes must be identical for self-verification
+    from xlayer_prover_tpu.recursion.engine import _shape_sig
+    assert _shape_sig(r1.air) == _shape_sig(r2.air)
+    p1 = r1.prove(proof)
+    p2 = r1.prove(prover.gen_proof(setup, cm1_np, publics))
+    p3 = r1.prove(prover.gen_proof(setup, cm1_np, publics))
+    a12 = r2.prove(p1, p2)                 # two leaves
+    assert a12.publics[:4] == [v % P for v in r2.verkey]
+    assert r2.verify(a12)
+    a123 = r2.prove(a12, p3)               # aggregate + leaf (mixed)
+    assert r2.verify(a123)
+    # payload carried through (default out_map: p1's payload)
+    assert a123.publics[4:] == a12.publics[4:]

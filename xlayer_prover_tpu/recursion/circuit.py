@@ -169,6 +169,22 @@ class Tracer:
         t = self.mul(bit, d)
         return self.add(t, y)
 
+    def is_zero(self, a: int) -> int:
+        """1 if a == 0 else 0 (sound: a*z = 0 and a*ainv + z = 1)."""
+        z, ainv = self.hint(
+            lambda v: [1 if v[0] == 0 else 0,
+                       0 if v[0] == 0 else pow(v[0], P - 2, P)], [a], 2)
+        self.assert_zero(self.mul(a, z))
+        self.assert_const(self.add(self.mul(a, ainv), z), 1)
+        return z
+
+    def all_eq(self, xs, ys) -> int:
+        """1 if every xs[k] == ys[k] else 0 (product of is_zero diffs)."""
+        acc = self.one
+        for x, y in zip(xs, ys):
+            acc = self.mul(acc, self.is_zero(self.sub(x, y)))
+        return acc
+
     # -- hints ------------------------------------------------------------
     def hint(self, fn: Callable, ins: List[int], n_outs: int) -> List[int]:
         outs = [self._new() for _ in range(n_outs)]

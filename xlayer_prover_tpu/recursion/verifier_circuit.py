@@ -267,13 +267,25 @@ def build_verifier_circuit(air, verkey):
     return t, pw
 
 
-def trace_verify(t: Tracer, air, verkey) -> ProofWires:
-    """Trace one inner-proof verification into an existing Tracer."""
-    pw = declare_proof_wires(t, air)
+def trace_verify(t: Tracer, air, verkey=None, vk_wires=None,
+                 pw: ProofWires = None) -> ProofWires:
+    """Trace one inner-proof verification into an existing Tracer.
+
+    The verkey enters either baked as constants (`verkey`, recursive1's
+    fixed inner circuit) or as circuit WIRES (`vk_wires`) — the
+    shape-stable recursive2 passes the key as an input so one circuit
+    verifies proofs of any same-shape circuit (reference recursive2's
+    rootC signal, prover.cpp:676-825)."""
+    if pw is None:
+        pw = declare_proof_wires(t, air)
 
     n = air.n
     steps = air.fri_steps
-    vk = [t.constant(v) for v in verkey]
+    if vk_wires is not None:
+        vk = list(vk_wires)
+        assert len(vk) == 4
+    else:
+        vk = [t.constant(v) for v in verkey]
 
     # ---- transcript replay -------------------------------------------
     t.scope = "transcript"
