@@ -91,3 +91,36 @@ def test_zkey_roundtrip(tmp_path, proven):
     proof2 = groth16.prove(pk2, r1cs, wit, rng=rng)
     assert groth16.verify(vk2, proof2, [wit[1]])
     assert groth16.verify(vk2, proof, [wit[1]])
+
+
+def test_snarkjs_artifacts_roundtrip(tmp_path, proven):
+    """snarkjs-format export + the independent from-file verifier (the
+    CI contract, prover_e2e.yml:36-38 — snarkjs itself is not in this
+    image, so verify_files re-implements `snarkjs groth16 verify` over
+    the JSON artifacts alone)."""
+    import json
+    from xlayer_prover_tpu.snark import snarkjs_io
+    r1cs, pk, vk, proof, wit = proven
+    pubs = wit[1:1 + r1cs.n_public]
+    vkp = str(tmp_path / "verification_key.json")
+    prp = str(tmp_path / "proof.json")
+    pup = str(tmp_path / "public.json")
+    snarkjs_io.export_vk(vk, vkp)
+    snarkjs_io.export_proof(proof, prp)
+    snarkjs_io.export_publics(pubs, pup)
+    # snarkjs layout sanity
+    doc = json.load(open(prp))
+    assert doc["protocol"] == "groth16" and doc["curve"] == "bn128"
+    assert doc["pi_a"][2] == "1" and doc["pi_b"][2] == ["1", "0"]
+    assert all(isinstance(v, str) for v in json.load(open(pup)))
+    assert snarkjs_io.verify_files(vkp, pup, prp)
+    # tampered public input -> reject
+    bad = [str((int(p) + 1) % R) for p in pubs]
+    badp = str(tmp_path / "public_bad.json")
+    json.dump(bad, open(badp, "w"))
+    assert not snarkjs_io.verify_files(vkp, badp, prp)
+    # tampered proof point -> reject
+    doc["pi_a"][0] = str((int(doc["pi_a"][0]) + 1))
+    badpr = str(tmp_path / "proof_bad.json")
+    json.dump(doc, open(badpr, "w"))
+    assert not snarkjs_io.verify_files(vkp, pup, badpr)
