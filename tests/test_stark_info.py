@@ -50,3 +50,24 @@ def test_load_fixture(tmp_path):
     assert [e.prime for e in si.ev_map] == [False, True, False, False]
     assert si.steps["step42ns"][0].op == "mul"
     assert si.q_deg == 2
+
+
+def test_memory_plan_consumer():
+    """StarkInfo feeds the HBM section planner (the reference's 51 GB
+    buffer map, commit_pols.hpp:1735-1737, becomes a per-device plan)."""
+    from xlayer_prover_tpu.stark.stark_info import StarkInfo, memory_plan
+    si = StarkInfo.from_json({
+        "starkStruct": {"nBits": 23, "nBitsExt": 24, "nQueries": 32,
+                        "steps": [{"nBits": 24}, {"nBits": 19}]},
+        "nConstants": 100, "nPublics": 44,
+        "nCm1": 751, "nCm2": 6, "nCm3": 42, "nCm4": 12,
+        "mapSectionsN": {"cm1_n": 751, "cm1_2ns": 751, "cm2_n": 6,
+                         "cm2_2ns": 6, "q_2ns": 12},
+    })
+    plan = memory_plan(si, n_devices=1)
+    # the zkevm cm1 section alone is the reference's 50.4 GB trace / +ext
+    assert plan["sections"]["cm1_n"]["bytes"] == 751 * (1 << 23) * 8
+    assert not plan["hbm_resident"]
+    assert plan["stream_block_cols"] >= 8
+    plan8 = memory_plan(si, n_devices=8)
+    assert plan8["per_device_bytes"] < plan["per_device_bytes"]

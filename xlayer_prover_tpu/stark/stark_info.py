@@ -190,3 +190,43 @@ class StarkInfo:
 
     def fri_steps(self) -> List[int]:
         return [s.n_bits for s in self.stark_struct.steps]
+
+
+# ---------------------------------------------------------------------------
+# Memory planner: StarkInfo -> HBM/RAM section plan (the consumer of the
+# reference's eSection memory map, stark_info.hpp:37-51; SURVEY §7 step 4:
+# sections become named sharded arrays instead of one 51 GB buffer)
+# ---------------------------------------------------------------------------
+
+def memory_plan(si: "StarkInfo", n_devices: int = 1,
+                hbm_bytes: int = 16 << 30) -> dict:
+    """Byte budget per polynomial section and the per-device shard sizes
+    for a row-sharded mesh; flags sections that must stream column
+    blocks because a full-resident layout exceeds HBM."""
+    n = 1 << si.stark_struct.n_bits
+    n_ext = 1 << si.stark_struct.n_bits_ext
+    sections = {}
+    for sec, width in sorted(si.map_sections_n.items()):
+        rows = n_ext if sec.endswith("2ns") else n
+        sections[sec] = {"cols": width, "rows": rows,
+                         "bytes": rows * width * 8}
+    total = sum(s["bytes"] for s in sections.values())
+    per_device = -(-total // max(1, n_devices))
+    resident = per_device <= int(hbm_bytes * 0.75)
+    plan = {
+        "n_bits": si.stark_struct.n_bits,
+        "n_bits_ext": si.stark_struct.n_bits_ext,
+        "sections": sections,
+        "total_bytes": total,
+        "n_devices": n_devices,
+        "per_device_bytes": per_device,
+        "hbm_resident": resident,
+    }
+    if not resident:
+        # column-block streaming: pick the largest block width that fits
+        # alongside one extended working section
+        worst = max((s for s in sections.values()), key=lambda s: s["bytes"])
+        budget = int(hbm_bytes * 0.5)
+        block_cols = max(8, budget // (worst["rows"] * 8 * 3))
+        plan["stream_block_cols"] = block_cols
+    return plan
