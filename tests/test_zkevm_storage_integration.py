@@ -87,7 +87,7 @@ def test_forged_sread_value_breaks_latch_lookup(batch_trace):
         col = mw[name].index
         bad[row, col] = (int(bad[row, col]) + 1) % P
     failures = check_trace(engine.air, res.const_np, bad, res.publics,
-                           verbose=False)
+                           verbose=False, sections=("plookup",))
     assert any("plookup" in f for f in failures)
 
 
@@ -99,7 +99,7 @@ def test_forged_skey_breaks_key_derivation(batch_trace):
     col = mw["sKey0"].index
     bad[row, col] = (int(bad[row, col]) + 1) % P
     failures = check_trace(engine.air, res.const_np, bad, res.publics,
-                           verbose=False)
+                           verbose=False, sections=("plookup",))
     assert any("plookup" in f for f in failures)
 
 
@@ -111,7 +111,8 @@ def test_forged_storage_root_breaks(batch_trace):
     col = sw["OLD_ROOT0"].index
     bad[row, col] = (int(bad[row, col]) + 1) % P
     failures = check_trace(engine.air, res.const_np, bad, res.publics,
-                           verbose=False)
+                           verbose=False, sections=("identity", "plookup"),
+                           stop_at_first=True)
     assert failures != []
 
 
@@ -123,5 +124,5 @@ def test_forged_counter_increment_breaks(batch_trace):
     col = mw["incCnt"].index
     bad[row, col] = (int(bad[row, col]) + 7) % P
     failures = check_trace(engine.air, res.const_np, bad, res.publics,
-                           verbose=False)
+                           verbose=False, sections=("plookup",))
     assert failures != []

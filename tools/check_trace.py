@@ -101,17 +101,24 @@ class _HostEval:
         raise TypeError(type(e))
 
 
+ALL_SECTIONS = ("identity", "plookup", "permutation", "connection")
+
+
 def check_trace(air: Air, const_np, cm1_np, publics, verbose=True,
-                seed=0xC0FFEE):
+                seed=0xC0FFEE, sections=ALL_SECTIONS, stop_at_first=False):
     """Returns a list of failure descriptions (empty = trace satisfies
-    everything checkable host-side)."""
+    everything checkable host-side).  `sections` selects which constraint
+    families to evaluate — tamper-negative tests that assert on a single
+    family (e.g. a plookup break) pass just that one and skip the rest of
+    the 2^16-row sweep; `stop_at_first` returns on the first failure
+    (negatives only assert non-emptiness)."""
     rng = np.random.default_rng(seed)
     challenges = [int(rng.integers(1, 1 << 62)) for _ in range(8)]
     ev = _HostEval(air.n, const_np, cm1_np, list(publics or []), challenges,
                    im_defs=getattr(air, "im_defs", None))
     failures = []
 
-    for i, c in enumerate(air.constraints):
+    for i, c in enumerate(air.constraints if "identity" in sections else ()):
         vals = ev.eval(c)
         if np.isscalar(vals) or vals.ndim == 0:
             bad = [] if int(vals) == 0 else [0]
@@ -121,8 +128,10 @@ def check_trace(air: Air, const_np, cm1_np, publics, verbose=True,
             failures.append(f"identity[{i}] fails at rows {bad}")
             if verbose:
                 print(failures[-1], flush=True)
+            if stop_at_first:
+                return failures
 
-    for i, pu in enumerate(air.plookups):
+    for i, pu in enumerate(air.plookups if "plookup" in sections else ()):
         f = np.asarray(ev.eval(pu.f_exp)) + np.zeros(air.n, dtype=np.uint64)
         t = np.asarray(ev.eval(pu.t_exp)) + np.zeros(air.n, dtype=np.uint64)
         missing = ~np.isin(f, t)
@@ -131,8 +140,11 @@ def check_trace(air: Air, const_np, cm1_np, publics, verbose=True,
             failures.append(f"plookup[{i}]: f rows {rows} not found in t")
             if verbose:
                 print(failures[-1], flush=True)
+            if stop_at_first:
+                return failures
 
-    for i, pe in enumerate(air.permutations):
+    for i, pe in enumerate(air.permutations if "permutation" in sections
+                           else ()):
         f = np.asarray(ev.eval(pe.f_exp)) + np.zeros(air.n, dtype=np.uint64)
         t = np.asarray(ev.eval(pe.t_exp)) + np.zeros(air.n, dtype=np.uint64)
         if not np.array_equal(np.sort(f), np.sort(t)):
@@ -143,7 +155,8 @@ def check_trace(air: Air, const_np, cm1_np, publics, verbose=True,
     # connections: values must be invariant along the sigma cycles — find
     # each cell's sigma target by matching codes x[r]*k_j and compare
     from xlayer_prover_tpu.fields import gl as glmod
-    for i, ci in enumerate(air.connections):
+    for i, ci in enumerate(air.connections if "connection" in sections
+                           else ()):
         n = air.n
         x = np.empty(n, dtype=np.uint64)
         cur = 1

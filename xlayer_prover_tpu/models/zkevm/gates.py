@@ -132,23 +132,70 @@ def execute_all_wires_np(script: GateScript, inputs: np.ndarray,
     return wires
 
 
+def _pack_rows(script: GateScript):
+    """Capacity-packed ASAP schedule: gates are laid out into uniform-width
+    rows (a gate lands on the first row after both its operands that still
+    has a free slot), so device execution is ONE lax.scan over a dense
+    (n_rows, W) table instead of an unrolled per-level graph — compile
+    time is a single small body, not O(n_gates)."""
+    total = sum(len(l[0]) for l in script.levels)
+    depth = max(1, len(script.levels))
+    w = 64
+    while w < max(64, total // depth):
+        w *= 2
+    row_of = np.zeros(script.n_wires, dtype=np.int64)   # row that wrote wire
+    counts: list = [0]
+    rows: list = [[]]
+    for (ops, a_arr, b_arr, r_arr) in script.levels:
+        for op, a, b, r in zip(ops, a_arr, b_arr, r_arr):
+            e = int(max(row_of[a], row_of[b])) + 1
+            while True:
+                while e >= len(rows):
+                    rows.append([])
+                    counts.append(0)
+                if counts[e] < w:
+                    break
+                e += 1
+            rows[e].append((op, a, b, r))
+            counts[e] += 1
+            row_of[r] = e
+    n_rows = len(rows)
+    ops_t = np.zeros((n_rows, w), dtype=np.int32)   # pad: XOR(0,0) -> wire 0
+    a_t = np.zeros((n_rows, w), dtype=np.int32)
+    b_t = np.zeros((n_rows, w), dtype=np.int32)
+    r_t = np.zeros((n_rows, w), dtype=np.int32)
+    for i, row in enumerate(rows):
+        for j, (op, a, b, r) in enumerate(row):
+            ops_t[i, j] = op
+            a_t[i, j] = a
+            b_t[i, j] = b
+            r_t[i, j] = r
+    return ops_t, a_t, b_t, r_t
+
+
 def execute(script: GateScript, inputs):
     """inputs: uint32 (n_inputs, lanes) packed instance bits.
     Returns (n_outputs, lanes) uint32."""
+    if not hasattr(script, "_packed_rows"):
+        script._packed_rows = _pack_rows(script)
+    ops_t, a_t, b_t, r_t = script._packed_rows
 
     @jax.jit
-    def run(inp):
+    def run(inp, ops_t, a_t, b_t, r_t):
         lanes = inp.shape[1]
         wires = jnp.zeros((script.n_wires, lanes), dtype=jnp.uint32)
         wires = wires.at[1].set(jnp.uint32(0xFFFFFFFF))
         wires = wires.at[2:2 + script.n_inputs].set(inp)
-        for (ops, a, b, r) in script.levels:
+
+        def body(wires, row):
+            ops, a, b, r = row
             va = wires[a]
             vb = wires[b]
-            x = va ^ vb
-            ap = (~va) & vb
-            res = jnp.where((ops == OP_XOR)[:, None], x, ap)
-            wires = wires.at[r].set(res)
+            res = jnp.where((ops == OP_XOR)[:, None], va ^ vb, (~va) & vb)
+            return wires.at[r].set(res), None
+
+        wires, _ = jax.lax.scan(body, wires, (ops_t, a_t, b_t, r_t))
         return wires[script.outputs]
 
-    return run(jnp.asarray(inputs, dtype=jnp.uint32))
+    return run(jnp.asarray(inputs, dtype=jnp.uint32),
+               ops_t, a_t, b_t, r_t)

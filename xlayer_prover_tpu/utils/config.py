@@ -88,6 +88,141 @@ class Config:
     # counters / capacity
     no_counters: bool = False
     max_steps: int = 1 << 23
+    # --- full reference surface (config.hpp:15-202) ----------------------
+    prover_id: str = ""                       # proverID: per-process UUID
+    run_executor_client: bool = False
+    run_executor_client_multithread: bool = False
+    run_hashdb_test: bool = False
+    run_aggregator_client_mock: bool = False
+    run_file_process_batch_multithread: str = ""
+    run_file_execute: str = ""
+    # script generators + self-test modes (the reference's run*Test flags;
+    # each maps to a tests/ module here — see main.run_self_tests)
+    run_keccak_script_generator: bool = False
+    run_sha256_script_generator: bool = False
+    run_keccak_test: bool = False
+    run_storage_sm_test: bool = False
+    run_climb_key_sm_test: bool = False
+    run_binary_sm_test: bool = False
+    run_mem_align_sm_test: bool = False
+    run_sha256_test: bool = False
+    run_blake_test: bool = False
+    run_ecrecover_test: bool = False
+    run_database_cache_test: bool = False
+    run_check_tree_test: bool = False
+    run_database_performance_test: bool = False
+    run_page_manager_test: bool = False
+    run_key_value_tree_test: bool = False
+    run_smt64_test: bool = False
+    run_unit_test: bool = False
+    check_tree_root: str = "auto"
+    # executor behavior
+    execute_in_parallel: bool = True
+    use_main_exec_c: bool = False             # reference marks do-not-use
+    dont_load_rom_offsets: bool = False
+    executor_rom_line_traces: bool = False
+    opcode_tracer: bool = False
+    ecrecover_precalc: bool = False
+    ecrecover_precalc_n_threads: int = 16
+    full_tracer_trace_reserve_size: int = 256 * 1024
+    # save-to-file debug taps
+    save_request_to_file: bool = False
+    save_db_reads_to_file: bool = False
+    save_db_reads_to_file_on_change: bool = False
+    save_files_in_subfolders: bool = False
+    # DB cache preload + associative cache geometry
+    load_db_to_mem_cache: bool = False
+    load_db_to_mem_cache_in_parallel: bool = False
+    load_db_to_mem_timeout_us: int = 30 * 1000 * 1000
+    use_associative_cache: bool = False
+    log2_db_mt_associative_cache_size: int = 25
+    log2_db_mt_associative_cache_indexes_size: int = 28
+    log2_db_kv_associative_cache_size: int = 25
+    log2_db_kv_associative_cache_indexes_size: int = 28
+    log2_db_versions_associative_cache_size: int = 25
+    log2_db_versions_associative_cache_indexes_size: int = 28
+    # executor client (test driver)
+    executor_client_host: str = "127.0.0.1"
+    executor_client_port: int = 50071
+    executor_client_loops: int = 1
+    executor_client_check_new_state_root: bool = False
+    executor_client_reset_db: bool = False
+    # hashdb64 file store
+    hashdb_file_name: str = "hashdb"
+    hashdb_file_size_gb: int = 128
+    hashdb_folder: str = "hashdb"
+    db_cache_synch_url: str = ""
+    # aggregator tuning
+    aggregator_client_mock_timeout_us: int = 60 * 1000 * 1000
+    aggregator_client_max_recv_msg_size: int = 100 << 20
+    # logging taps
+    log_executor_server_input_json: bool = False
+    log_executor_server_input_gas_threshold: int = 0
+    log_executor_server_responses: bool = False
+    log_executor_server_txs: bool = True
+    # memory-mapped artifact files
+    map_const_pols_file: bool = False
+    map_constants_tree_file: bool = False
+    # database plumbing
+    db_nodes_table_name: str = "state.nodes"
+    db_program_table_name: str = "state.program"
+    db_connections_pool: bool = True
+    db_clear_cache: bool = False
+    db_get_tree: bool = True
+    db_read_only: bool = False
+    # state manager
+    state_manager: bool = True
+    state_manager_purge: bool = True
+    # thread pools
+    max_hashdb_threads: int = 8
+    # file-driven run inputs/outputs (the reference's 75 GB archive slots;
+    # artifact roles map onto Setup/engine caches here — stark_info.py
+    # consumes the starkinfo ones, snark/zkey.py the zkey)
+    input_file2: str = ""
+    config_path: str = "config"
+    zkevm_cm_pols_after_executor: str = ""
+    c12a_cm_pols: str = ""
+    recursive1_cm_pols: str = ""
+    recursive2_cm_pols: str = ""
+    recursivef_cm_pols: str = ""
+    final_cm_pols: str = ""
+    c12a_const_pols: str = ""
+    recursive1_const_pols: str = ""
+    recursive2_const_pols: str = ""
+    recursivef_const_pols: str = ""
+    zkevm_constants_tree: str = ""
+    c12a_constants_tree: str = ""
+    recursive1_constants_tree: str = ""
+    recursive2_constants_tree: str = ""
+    recursivef_constants_tree: str = ""
+    final_verkey_file: str = ""
+    zkevm_verifier: str = ""
+    recursive1_verifier: str = ""
+    recursive2_verifier: str = ""
+    recursivef_verifier: str = ""
+    final_verifier: str = ""
+    c12a_verkey_file: str = ""
+    recursive1_verkey_file: str = ""
+    recursive2_verkey_file: str = ""
+    recursivef_verkey_file: str = ""
+    c12a_exec_file: str = ""
+    recursive1_exec_file: str = ""
+    recursive2_exec_file: str = ""
+    recursivef_exec_file: str = ""
+    publics_output: str = "public.json"
+    proof_file: str = "proof.json"
+    keccak_script_file: str = ""
+    sha256_script_file: str = ""
+    keccak_pols_file: str = ""
+    sha256_pols_file: str = ""
+    keccak_connections_file: str = ""
+    sha256_connections_file: str = ""
+    storage_rom_file: str = ""
+    zkevm_stark_info: str = ""
+    c12a_stark_info: str = ""
+    recursive1_stark_info: str = ""
+    recursive2_stark_info: str = ""
+    recursivef_stark_info: str = ""
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     _ENV_MAP = {
@@ -134,6 +269,42 @@ class Config:
         "kvDBMaxVersions": "kvdb_max_versions",
         "dbMTCacheSize": "db_mt_cache_mb",
         "dbProgramCacheSize": "db_program_cache_mb",
+        "proverID": "prover_id",
+        "runHashDBTest": "run_hashdb_test",
+        "runECRecoverTest": "run_ecrecover_test",
+        "ECRecoverPrecalc": "ecrecover_precalc",
+        "ECRecoverPrecalcNThreads": "ecrecover_precalc_n_threads",
+        "loadDBToMemTimeout": "load_db_to_mem_timeout_us",
+        "hashDBFileName": "hashdb_file_name",
+        "hashDBFileSize": "hashdb_file_size_gb",
+        "hashDBFolder": "hashdb_folder",
+        "aggregatorClientMockTimeout": "aggregator_client_mock_timeout_us",
+        "aggregatorClientWatchdogTimeout":
+            "aggregator_client_watchdog_timeout_s",
+        "dbNumberOfPoolConnections": "db_connections_pool_size",
+        "dbMultiWrite": "db_multiwrite",
+        "dbMultiWriteSingleQuerySize": "db_multiwrite_single_query_size",
+        "dbReadRetryDelay": "db_read_retry_delay_ms",
+        "maxHashDBThreads": "max_hashdb_threads",
+        "cleanerPollingPeriod": "cleaner_polling_period_s",
+        "requestsPersistence": "requests_persistence_s",
+        "saveResponseToFile": "save_responses_to_file",
+        "zkevmCmPols": "zkevm_cm_pols_file",
+        "zkevmConstPols": "zkevm_const_pols_file",
+        "zkevmVerkey": "zkevm_verkey_file",
+        "c12aVerkey": "c12a_verkey_file",
+        "recursive1Verkey": "recursive1_verkey_file",
+        "recursive2Verkey": "recursive2_verkey_file",
+        "recursivefVerkey": "recursivef_verkey_file",
+        "finalVerkey": "final_verkey_file",
+        "finalStarkZkey": "final_zkey_file",
+        "c12aExec": "c12a_exec_file",
+        "recursive1Exec": "recursive1_exec_file",
+        "recursive2Exec": "recursive2_exec_file",
+        "recursivefExec": "recursivef_exec_file",
+        # legacy spellings still present in the reference's shipped configs
+        "maxStateDBThreads": "max_hashdb_threads",
+        "runFileExecutor": "run_file_execute",
     }
 
     @classmethod
