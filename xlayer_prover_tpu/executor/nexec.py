@@ -32,7 +32,7 @@ F_JMP, F_JMPC, F_JMPN, F_JMPZ, F_CALL, F_RETURN, F_USEJMPADDR, F_USEELSE = \
     (1 << i for i in range(7, 15))
 F_ASSERT, F_BIN, F_EQ0, F_REPEAT, F_HASCONST, F_HASCONSTL, F_PYLINE, \
     F_FREE_DEFAULT, F_INFREE, F_INFREE0 = (1 << i for i in range(15, 25))
-F_EQ1, F_EQ2, F_FN, F_EXPR = (1 << i for i in range(25, 29))
+F_EQ1, F_EQ2, F_FN, F_EXPR, F_HASHA = (1 << i for i in range(25, 30))
 
 # shared-state slot indices (must mirror native/nexec.cpp)
 S_A, S_B, S_C, S_D, S_E, S_SR = 0, 8, 16, 24, 32, 40
@@ -49,7 +49,7 @@ P = (1 << 64) - (1 << 32) + 1
 # ---- native expression bytecode (must mirror native/nexec.cpp) -----------
 (EX_END, EX_NUM, EX_REG, EX_ADD, EX_SUB, EX_MUL, EX_DIV, EX_MOD, EX_BAND,
  EX_BOR, EX_BXOR, EX_SHL, EX_SHR, EX_LT, EX_GT, EX_EQ, EX_NE, EX_NOT,
- EX_BITNOT, EX_MEM) = range(20)
+ EX_BITNOT, EX_MEM, EX_VAR) = range(21)
 
 _EX_BINOPS = {
     "add": EX_ADD, "sub": EX_SUB, "mul": EX_MUL, "div": EX_DIV,
@@ -67,6 +67,7 @@ _EX_REGS = {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4, "SR": 5, "CTX": 6,
 # on the Python path.
 _NATIVE_FNS = {"xAddPointEc": 1, "yAddPointEc": 2, "xDblPointEc": 3,
                "yDblPointEc": 4, "inverseFpEc": 5}
+FN_GETTXS, FN_GETTXSLEN = 6, 7
 _FN_PARAM_REGS = {1: ("A", "B", "C", "D"), 2: ("A", "B", "C", "D"),
                   3: ("A", "B"), 4: ("A", "B"), 5: ("A",)}
 
@@ -81,14 +82,21 @@ def _fn_params_match(fn: int, params) -> bool:
                for p, r in zip(params, want))
 
 
-def compile_expr(cmd: dict):
+def compile_expr(cmd: dict, var_slots=None):
     """Command tree -> postfix u64 bytecode, or None if outside the
-    native envelope (only number/getReg leaves and pure-arithmetic ops;
-    vars, memory, nested calls stay on the Python path)."""
+    native envelope (only number/getReg/getMemValue — plus getVar when a
+    slot map is provided — and pure-arithmetic ops; nested calls stay on
+    the Python path).  `var_slots` assigns a mirror slot per referenced
+    zkasm var; the executor keeps those slots current through a
+    write-through vars dict."""
     out = []
 
     def emit(tree) -> bool:
         op = tree.get("op")
+        if op == "getVar" and var_slots is not None:
+            slot = var_slots.setdefault(tree["varName"], len(var_slots))
+            out.extend((EX_VAR, slot))
+            return True
         if op == "number":
             v = int(tree["num"])
             if not (0 <= v < (1 << 256)):
@@ -150,19 +158,92 @@ def _load():
         ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, u64p, _STEP_CB, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, u64p, _STEP_CB, ctypes.c_void_p]
     lib.nexec_free.argtypes = [ctypes.c_void_p]
     lib.nexec_run.restype = ctypes.c_int
     lib.nexec_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                               ctypes.c_int64, ctypes.c_uint64]
     lib.nexec_mem_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p]
     lib.nexec_mem_set.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p]
+    lib.nexec_set_batch_data.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                         ctypes.c_uint64]
+    lib.nexec_set_var_block.argtypes = [ctypes.c_void_p, u64p,
+                                        ctypes.c_uint64]
+    lib.nexec_hash_drain.restype = ctypes.c_int64
+    lib.nexec_hash_drain.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_uint64]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def _tree_reads(tree, regs: set, flags: list):
+    """Collect getReg names and flag getMemValue in a command tree."""
+    if not isinstance(tree, dict):
+        return
+    op = tree.get("op")
+    if op == "getReg":
+        regs.add(tree.get("regName"))
+    if op == "getMemValue":
+        flags.append("mem")
+    for v in tree.get("values", ()) or ():
+        _tree_reads(v, regs, flags)
+    for v in tree.get("params", ()) or ():
+        _tree_reads(v, regs, flags)
+
+
+def compile_setvar_cmds(line, var_slots):
+    """(cmd_before, cmd_after) -> flat u64 cmd blob, or None if any
+    command is outside the native envelope (only setVar/declareVar with
+    compilable exprs; cmd_after expressions must not observe the line's
+    own effects — register setters, implicit RR/RCX updates, memory
+    writes — since they are pre-flight evaluated)."""
+    halves = []
+    for which, cmds in (("before", line.cmd_before or []),
+                        ("after", line.cmd_after or [])):
+        blob = []
+        for cmd in cmds:
+            if not isinstance(cmd, dict):
+                return None
+            op = cmd.get("op")
+            if op == "declareVar":
+                name = cmd.get("varName")
+                expr_code = [EX_NUM, 0, 0, 0, 0, EX_END]
+            elif op == "setVar":
+                vals = cmd.get("values") or []
+                if len(vals) != 2 or vals[0].get("op") != "getVar":
+                    return None
+                name = vals[0].get("varName")
+                expr_code = compile_expr(vals[1], var_slots)
+                if expr_code is None:
+                    return None
+                if which == "after":
+                    regs, memflags = set(), []
+                    _tree_reads(vals[1], regs, memflags)
+                    written = set(line.sets)
+                    if line.flag("call"):
+                        written.add("RR")
+                    if line.flag("repeat"):
+                        written.add("RCX")
+                    if memflags or (regs & written):
+                        return None
+            else:
+                return None
+            if not name:
+                return None
+            slot = var_slots.setdefault(name, len(var_slots))
+            blob.append((slot, expr_code))
+        halves.append(blob)
+    out = []
+    for blob in halves:
+        out.append(len(blob))
+        for slot, code in blob:
+            out.append(slot)
+            out.extend(code)
+    return out
 
 
 def decode_rom(rom: Rom):
@@ -191,34 +272,79 @@ def decode_rom(rom: Rom):
     }
     py_flags = ["sRD", "sWR", "arithEq3", "arithEq4", "arithEq5",
                 "memAlignRD", "memAlignWR",
-                "memAlignWR8", "hashK", "hashK1", "hashKLen", "hashKDigest",
-                "hashP", "hashP1", "hashPLen", "hashPDigest", "hashS",
-                "hashS1", "hashSLen", "hashSDigest", "save", "restore"]
+                "memAlignWR8", "hashKLen", "hashKDigest",
+                "hashP", "hashP1", "hashPLen", "hashPDigest",
+                "hashSLen", "hashSDigest", "save", "restore"]
+    # hashK/hashS byte appends run natively (logged, drained into the
+    # Python HashStates at callback boundaries); hashP keeps its
+    # first-byte games in Python, Len/Digest need the full session
+    hash_append_flags = ["hashK", "hashK1", "hashS", "hashS1"]
+    var_slots: dict = {}
+
+    cmd_off = np.full(len(rom.program), -1, dtype=np.int64)
 
     for i, line in enumerate(rom.program):
         fl = 0
         for name, bit in flag_bits.items():
             if line.flag(name):
                 fl |= bit
-        pyline = bool(line.cmd_before) or bool(line.cmd_after)
+        pyline = False
+        cmd_blob = None
+        if line.cmd_before or line.cmd_after:
+            cmd_blob = compile_setvar_cmds(line, var_slots)
+            if cmd_blob is None:
+                pyline = True
         pyline = pyline or any(line.flag(f) for f in py_flags)
+        hasha = [f for f in hash_append_flags if line.flag(f)]
+        if hasha and (pyline or line.flag("mOp")):
+            pyline = True
+            hasha = []
         # free input with a command tree: native functionCall (register
-        # form secp EC math), compiled expression bytecode, or Python
+        # form secp EC math / batch-data getTxs), compiled expression
+        # bytecode, or Python
         fit = line.free_in_tag
         if fit is not None and fit.get("op"):
-            fid = _NATIVE_FNS.get(fit.get("funcName")) \
-                if fit.get("op") == "functionCall" else None
+            fname = fit.get("funcName") if fit.get("op") == "functionCall" \
+                else None
+            fid = _NATIVE_FNS.get(fname) if fname else None
             if fid is not None and _fn_params_match(fid, fit.get("params")):
                 fl |= F_FN
                 fn_id[i] = fid
+            elif fname == "getTxs" and len(fit.get("params") or []) == 2 \
+                    and not hasha:
+                codes = [compile_expr(p, var_slots)
+                         for p in fit["params"]]
+                if all(c is not None for c in codes):
+                    fl |= F_FN
+                    fn_id[i] = FN_GETTXS
+                    expr_off[i] = len(expr_words)
+                    for c in codes:
+                        expr_words.extend(c)
+                else:
+                    pyline = True
+            elif fname == "getTxsLen" and not fit.get("params") \
+                    and not hasha:
+                fl |= F_FN
+                fn_id[i] = FN_GETTXSLEN
             else:
-                code = compile_expr(fit)
+                code = compile_expr(fit, var_slots)
                 if code is not None:
                     fl |= F_EXPR
                     expr_off[i] = len(expr_words)
                     expr_words.extend(code)
                 else:
                     pyline = True
+        if hasha and not pyline:
+            # fn_id doubles as the append descriptor (only read under
+            # F_HASHA; a native-FN free-in on the same line is excluded
+            # above via `not hasha` / F_FN precedence)
+            if fl & F_FN:
+                pyline = True
+            else:
+                fl |= F_HASHA
+                kind = 1 if hasha[0].startswith("hashS") else 0
+                is1 = 2 if hasha[0].endswith("1") else 0
+                fn_id[i] = kind | is1
         any_arith = line.flag("arith") or any(line.flag(f"arithEq{k}")
                                               for k in range(6))
         if any_arith:
@@ -231,9 +357,20 @@ def decode_rom(rom: Rom):
                 fl |= F_EQ0
             else:
                 pyline = True
+        if cmd_blob is not None and not pyline:
+            # committed before-writes can't be rolled back, so a line
+            # whose body may defer mid-way (FN/EXPR/HASHA) is only
+            # native when it has no before-commands
+            n_before = cmd_blob[0]
+            if n_before > 0 and (fl & (F_FN | F_EXPR | F_HASHA)):
+                pyline = True
+            else:
+                cmd_off[i] = len(expr_words)
+                expr_words.extend(cmd_blob)
         if pyline:
             fl |= F_PYLINE
-            fl &= ~(F_FN | F_EXPR | F_EQ1 | F_EQ2)
+            fl &= ~(F_FN | F_EXPR | F_EQ1 | F_EQ2 | F_HASHA)
+            cmd_off[i] = -1
         if line.free_in_tag is not None and not line.free_in_tag.get("op"):
             fl |= F_FREE_DEFAULT
         if line.has_const or line.has_constl:
@@ -266,7 +403,48 @@ def decode_rom(rom: Rom):
                 in_coeffs=in_coeffs, const_limbs=const_limbs,
                 offset=offset, jmp_addr=jmp_addr, else_addr=else_addr,
                 bin_opcode=bin_opcode, fn_id=fn_id, expr_off=expr_off,
-                expr_code=expr_code)
+                expr_code=expr_code, cmd_off=cmd_off, var_slots=var_slots)
+
+
+class _WriteThroughVars(dict):
+    """ctx.vars replacement mirroring registered zkasm vars into the
+    native block (4 value words + valid flag per slot) so EX_VAR
+    expressions read current values; anything outside the 256-bit int
+    envelope just invalidates its slot (native defers)."""
+
+    def __init__(self, base, slots, block):
+        super().__init__(base)
+        self._slots = slots
+        self._block = block
+        for k, v in base.items():
+            self._mirror(k, v)
+
+    def _mirror(self, k, v):
+        s = self._slots.get(k)
+        if s is None:
+            return
+        row = self._block[s * 5:s * 5 + 5]
+        if isinstance(v, int) and 0 <= v < (1 << 256):
+            for j in range(4):
+                row[j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+            row[4] = 1
+        else:
+            row[4] = 0
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._mirror(k, v)
+
+    def refresh_from_block(self):
+        """Pull native setVar-command writes back into the dict (called
+        at every Python re-entry and at run end)."""
+        for k, s in self._slots.items():
+            row = self._block[s * 5:s * 5 + 5]
+            if row[4]:
+                v = (int(row[0]) | (int(row[1]) << 64) |
+                     (int(row[2]) << 128) | (int(row[3]) << 192))
+                if dict.get(self, k) != v:
+                    dict.__setitem__(self, k, v)
 
 
 class _NativeMem:
@@ -330,10 +508,15 @@ class NativeMainExecutor:
         regs = ctx.regs
         self._push(state, ctx)
 
+        handle_box = []
+
         @_STEP_CB
         def cb(_user, zkpc, step):
             try:
                 self._pull(state, ctx)
+                self._drain_hashes(lib, handle_box[0], ctx)
+                if isinstance(ctx.vars, _WriteThroughVars):
+                    ctx.vars.refresh_from_block()
                 ctx.step = int(step)
                 line = self.rom.program[int(zkpc)]
                 self.py.execute_line(ctx, line, int(step))
@@ -357,12 +540,30 @@ class NativeMainExecutor:
             a["fn_id"].ctypes.data_as(ctypes.c_void_p),
             a["expr_off"].ctypes.data_as(ctypes.c_void_p),
             a["expr_code"].ctypes.data_as(ctypes.c_void_p),
+            a["cmd_off"].ctypes.data_as(ctypes.c_void_p),
             state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             cb, None)
+        handle_box.append(handle)
         try:
             ctx.mem = _NativeMem(lib, handle)
             ctx.max_steps = self.max_steps
+            # zkasm var mirror + batch data for the native getTxs /
+            # hashK/hashS append paths
+            slots = self._arrays["var_slots"]
+            var_block = np.zeros(max(1, len(slots)) * 5, dtype=np.uint64)
+            lib.nexec_set_var_block(
+                handle,
+                var_block.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint64)),
+                len(slots))
+            ctx.vars = _WriteThroughVars(ctx.vars, slots, var_block)
+            from .rom_functions import _batch_data
+            data = _batch_data(ctx)
+            lib.nexec_set_batch_data(handle, data, len(data))
             rc = lib.nexec_run(handle, start_pc, stop_pc, self.max_steps)
+            if not cb_error:
+                self._drain_hashes(lib, handle, ctx)
+                ctx.vars.refresh_from_block()
             if cb_error:
                 raise cb_error[0]
             if rc != 1:
@@ -383,6 +584,37 @@ class NativeMainExecutor:
             lib.nexec_free(handle)
             if isinstance(ctx.mem, _NativeMem):
                 ctx.mem = {}
+
+    # -- native hash append log -> ctx.hash_k/hash_s ----------------------
+    @staticmethod
+    def _drain_hashes(lib, handle, ctx):
+        """Apply natively-logged hashK/hashS byte appends to the Python
+        HashStates (exact _do_hash write + reads bookkeeping), keeping the
+        sessions current at every Python re-entry."""
+        n = int(lib.nexec_hash_drain(handle, None, 0))
+        if n <= 0:
+            return
+        buf = (ctypes.c_uint8 * n)()
+        got = int(lib.nexec_hash_drain(handle, buf, n))
+        assert got == n
+        raw = bytes(buf)
+        from .main_sm import HashState
+        off = 0
+        while off < n:
+            kind = raw[off]
+            addr = int.from_bytes(raw[off + 1:off + 9], "little")
+            zkpc = int.from_bytes(raw[off + 9:off + 17], "little")
+            pos = int.from_bytes(raw[off + 17:off + 25], "little")
+            size = raw[off + 25]
+            data = raw[off + 26:off + 26 + size]
+            off += 26 + size
+            table = ctx.hash_s if kind else ctx.hash_k
+            st = table.setdefault(addr, HashState())
+            st.write(pos, data, zkpc)
+            if st.reads.setdefault(pos, size) != size:
+                raise ZkError(ZkResult.PROVER_ERROR,
+                              f"hash two read sizes at pos {pos}, "
+                              f"zkPC={zkpc}")
 
     # -- state sync ------------------------------------------------------
     @staticmethod

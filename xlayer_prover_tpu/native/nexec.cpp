@@ -60,11 +60,13 @@ enum {
     F_EQ1 = 1u << 25, F_EQ2 = 1u << 26,       // native secp EC checks
     F_FN = 1u << 27,                          // native functionCall free-in
     F_EXPR = 1u << 28,                        // native expression free-in
+    F_HASHA = 1u << 29,                       // native hashK/hashS append
 };
 
 // native functionCall ids (mirrored in executor/nexec.py)
 enum {
     FN_XADD = 1, FN_YADD = 2, FN_XDBL = 3, FN_YDBL = 4, FN_INVFP = 5,
+    FN_GETTXS = 6, FN_GETTXSLEN = 7,
 };
 
 // expression bytecode ops (mirrored in executor/nexec.py)
@@ -73,7 +75,7 @@ enum {
     EX_ADD = 3, EX_SUB = 4, EX_MUL = 5, EX_DIV = 6, EX_MOD = 7,
     EX_BAND = 8, EX_BOR = 9, EX_BXOR = 10, EX_SHL = 11, EX_SHR = 12,
     EX_LT = 13, EX_GT = 14, EX_EQ = 15, EX_NE = 16, EX_NOT = 17,
-    EX_BITNOT = 18, EX_MEM = 19,
+    EX_BITNOT = 18, EX_MEM = 19, EX_VAR = 20,
 };
 // EX_REG operand codes: 0..5 vector regs A..SR; 6..12 scalars
 enum {
@@ -137,6 +139,40 @@ struct Nexec {
     uint64_t mem_count;
 
     EcCache ec_cache;
+
+    // batch L2 data (owned copy) for native getTxs/getTxsLen
+    uint8_t* batch_data;
+    uint64_t batch_len;
+
+    // zkasm var mirror (borrowed numpy buffer, 5 u64 per var:
+    // w0..w3 little-limb 256-bit value + valid flag; Python's
+    // write-through vars dict keeps it current, and the native setVar
+    // command path writes it directly — Python refreshes its dict from
+    // the block at every callback boundary)
+    uint64_t* var_block;
+    uint64_t n_vars;
+
+    // native setVar commands: per-line offset into expr_code with layout
+    //   u64 n_before, n_before x { u64 slot, expr..EX_END },
+    //   u64 n_after,  n_after  x { u64 slot, expr..EX_END }
+    const int64_t* cmd_off;
+
+    // staged var writes for the current line (visible to EX_VAR reads,
+    // committed before/after the line body; dropped whole on defer)
+    uint64_t stage_slot[16];
+    uint64_t stage_val[16][4];
+    int n_stage;
+    int stage_visible;   // EX_VAR sees stage[0..stage_visible): growing
+                         // during command staging, 0 during the line body
+                         // (after-writes must stay invisible until commit)
+
+    // hash append log: hashK/hashS bytes recorded natively, drained by
+    // Python into ctx.hash_k/hash_s (HashState.write semantics) at every
+    // callback boundary and at run end.  Record layout:
+    //   u8 kind, u64 addr, u64 zkpc, u64 pos, u8 size, bytes[size]
+    uint8_t* hlog;
+    uint64_t hlog_len;
+    uint64_t hlog_cap;
 
     step_cb_t cb;
     void* cb_user;
@@ -265,15 +301,37 @@ static void x9_divmod(const uint64_t* a, const uint64_t* b,
 
 // evaluate postfix bytecode; returns 0 ok (res = 256-bit truncated? no —
 // result must fit 256 bits for scalar_to_fea), -1 defer
-static int expr_eval(Nexec* nx, const uint64_t* code, uint64_t step,
-                     uint64_t* res4) {
+static int expr_eval2(Nexec* nx, const uint64_t* code, uint64_t step,
+                      uint64_t* res4, uint64_t* consumed) {
     uint64_t stack[EXPR_STACK][XN];
     int sp = 0;
     const uint64_t* st = nx->st;
-    for (size_t pc = 0;; ) {
+    size_t pc = 0;
+    for (;; ) {
         uint64_t op = code[pc++];
         if (op == EX_END) break;
         switch (op) {
+            case EX_VAR: {
+                if (sp >= EXPR_STACK) return -1;
+                uint64_t slot = code[pc++];
+                if (slot >= nx->n_vars || !nx->var_block) return -1;
+                uint64_t* v = stack[sp];
+                memset(v, 0, XN * 8);
+                int staged = 0;
+                for (int k = nx->stage_visible - 1; k >= 0; k--)
+                    if (nx->stage_slot[k] == slot) {
+                        memcpy(v, nx->stage_val[k], 32);
+                        staged = 1;
+                        break;
+                    }
+                if (!staged) {
+                    const uint64_t* vb = &nx->var_block[slot * 5];
+                    if (!vb[4]) return -1;        // unset / out-of-envelope
+                    memcpy(v, vb, 32);
+                }
+                sp++;
+                break;
+            }
             case EX_NUM: {
                 if (sp >= EXPR_STACK) return -1;
                 memset(stack[sp], 0, XN * 8);
@@ -399,7 +457,13 @@ static int expr_eval(Nexec* nx, const uint64_t* code, uint64_t step,
     if (sp != 1) return -1;
     if (x9_bits(stack[0]) > 256) return -1;   // must fit scalar_to_fea
     memcpy(res4, stack[0], 32);
+    if (consumed) *consumed = pc;
     return 0;
+}
+
+static int expr_eval(Nexec* nx, const uint64_t* code, uint64_t step,
+                     uint64_t* res4) {
+    return expr_eval2(nx, code, step, res4, 0);
 }
 
 // ---- memory map ---------------------------------------------------------
@@ -732,6 +796,7 @@ void* nexec_new(uint64_t n_lines, const uint32_t* flags, const uint32_t* sets,
                 const int32_t* jmp_addr, const int32_t* else_addr,
                 const uint8_t* bin_opcode, const uint8_t* fn_id,
                 const int64_t* expr_off, const uint64_t* expr_code,
+                const int64_t* cmd_off,
                 uint64_t* state, step_cb_t cb, void* cb_user) {
     Nexec* nx = (Nexec*)calloc(1, sizeof(Nexec));
     nx->n_lines = n_lines;
@@ -740,6 +805,7 @@ void* nexec_new(uint64_t n_lines, const uint32_t* flags, const uint32_t* sets,
     nx->offset = offset; nx->jmp_addr = jmp_addr;
     nx->else_addr = else_addr; nx->bin_opcode = bin_opcode;
     nx->fn_id = fn_id; nx->expr_off = expr_off; nx->expr_code = expr_code;
+    nx->cmd_off = cmd_off;
     nx->st = state;
     nx->cb = cb; nx->cb_user = cb_user;
     mem_init(nx, 1 << 16);
@@ -749,7 +815,59 @@ void* nexec_new(uint64_t n_lines, const uint32_t* flags, const uint32_t* sets,
 void nexec_free(void* h) {
     Nexec* nx = (Nexec*)h;
     free(nx->mem);
+    free(nx->batch_data);
+    free(nx->hlog);
     free(nx);
+}
+
+void nexec_set_batch_data(void* h, const uint8_t* data, uint64_t len) {
+    Nexec* nx = (Nexec*)h;
+    free(nx->batch_data);
+    nx->batch_data = 0;
+    nx->batch_len = len;
+    if (len) {
+        nx->batch_data = (uint8_t*)malloc(len);
+        memcpy(nx->batch_data, data, len);
+    }
+}
+
+void nexec_set_var_block(void* h, uint64_t* block, uint64_t n_vars) {
+    Nexec* nx = (Nexec*)h;
+    nx->var_block = block;
+    nx->n_vars = n_vars;
+}
+
+// hash append log ----------------------------------------------------------
+static void hlog_append(Nexec* nx, uint8_t kind, uint64_t addr,
+                        uint64_t zkpc, uint64_t pos, uint8_t size,
+                        const uint8_t* bytes) {
+    uint64_t need = nx->hlog_len + 1 + 8 + 8 + 8 + 1 + size;
+    if (need > nx->hlog_cap) {
+        uint64_t cap = nx->hlog_cap ? nx->hlog_cap * 2 : 4096;
+        while (cap < need) cap *= 2;
+        nx->hlog = (uint8_t*)realloc(nx->hlog, cap);
+        nx->hlog_cap = cap;
+    }
+    uint8_t* p = nx->hlog + nx->hlog_len;
+    *p++ = kind;
+    memcpy(p, &addr, 8); p += 8;
+    memcpy(p, &zkpc, 8); p += 8;
+    memcpy(p, &pos, 8); p += 8;
+    *p++ = size;
+    memcpy(p, bytes, size);
+    nx->hlog_len = need;
+}
+
+// drain: buf==NULL returns the byte count; otherwise copies up to cap
+// bytes and resets the log (caller must size via the NULL call first)
+int64_t nexec_hash_drain(void* h, uint8_t* buf, uint64_t cap) {
+    Nexec* nx = (Nexec*)h;
+    if (!buf) return (int64_t)nx->hlog_len;
+    if (cap < nx->hlog_len) return -1;
+    uint64_t n = nx->hlog_len;
+    memcpy(buf, nx->hlog, n);
+    nx->hlog_len = 0;
+    return (int64_t)n;
 }
 
 void nexec_mem_get(void* h, uint64_t addr, uint64_t* out8) {
@@ -794,6 +912,47 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             int rc = nx->cb(nx->cb_user, zkpc, step);
             if (rc != 0) return NX_ERR_CB;
             continue;   // python advanced zkPC and counters
+        }
+
+        // native setVar commands: stage every before/after write first
+        // (reads see staged values in order), then commit the before
+        // writes; after writes commit at line end.  Any eval failure
+        // defers the whole line with nothing committed.
+        nx->n_stage = 0;
+        nx->stage_visible = 0;
+        int commit_after_from = 0;
+        if (nx->cmd_off && nx->cmd_off[zkpc] >= 0) {
+            const uint64_t* cp = &nx->expr_code[nx->cmd_off[zkpc]];
+            int ok = 1;
+            uint64_t counts[2] = {*cp++, 0};
+            for (int half = 0; half < 2 && ok; half++) {
+                if (half == 1) counts[1] = *cp++;
+                for (uint64_t k = 0; k < counts[half] && ok; k++) {
+                    uint64_t slot = *cp++, v4[4], adv = 0;
+                    if (expr_eval2(nx, cp, step, v4, &adv) ||
+                        nx->n_stage >= 16) { ok = 0; break; }
+                    cp += adv;
+                    nx->stage_slot[nx->n_stage] = slot;
+                    memcpy(nx->stage_val[nx->n_stage], v4, 32);
+                    nx->n_stage++;
+                    nx->stage_visible = nx->n_stage;
+                }
+            }
+            uint64_t nb = counts[0];
+            if (!ok) {
+                nx->n_stage = 0;
+                nx->stage_visible = 0;
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
+            commit_after_from = (int)nb;
+            for (uint64_t k = 0; k < nb; k++) {
+                uint64_t* vb = &nx->var_block[nx->stage_slot[k] * 5];
+                memcpy(vb, nx->stage_val[k], 32);
+                vb[4] = 1;
+            }
+            nx->stage_visible = 0;   // body reads committed block state
         }
 
         const uint64_t* coeffs = &nx->in_coeffs[zkpc * NUM_IN];
@@ -841,7 +1000,8 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
 
         // address
         uint64_t addr = 0;
-        uint32_t need_addr = F_MOP | F_JMP | F_JMPN | F_JMPC | F_JMPZ | F_CALL;
+        uint32_t need_addr = F_MOP | F_JMP | F_JMPN | F_JMPC | F_JMPZ |
+                             F_CALL | F_HASHA;
         if (fl & need_addr) {
             int64_t rel = nx->offset[zkpc];
             if (fl & F_IND) {
@@ -888,11 +1048,16 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             // raises/handles identically.
             uint64_t x1[4], y1[4], x2[4], y2[4], rx[4], ry[4];
             int defer = 0;
-            if (!fea_ok(&st[S_A]) || !fea_ok(&st[S_B])) defer = 1;
+            int fn0 = nx->fn_id[zkpc];
+            int needs_regs = fn0 <= FN_INVFP;   // EC forms read A/B points
+            if (needs_regs && (!fea_ok(&st[S_A]) || !fea_ok(&st[S_B])))
+                defer = 1;
             if (!defer) {
-                fea_to_words(&st[S_A], x1);
-                fea_to_words(&st[S_B], y1);
-                int fn = nx->fn_id[zkpc];
+                if (needs_regs) {
+                    fea_to_words(&st[S_A], x1);
+                    fea_to_words(&st[S_B], y1);
+                }
+                int fn = fn0;
                 switch (fn) {
                     case FN_XADD: case FN_YADD: {
                         if (!fea_ok(&st[S_C]) || !fea_ok(&st[S_D]))
@@ -954,6 +1119,43 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
                         have_fi = 1;
                         break;
                     }
+                    case FN_GETTXS: {
+                        // ${getTxs(p, D)}: slice [p, p+D) of batchL2Data
+                        // as the left-padded big-endian scalar
+                        int64_t eo = nx->expr_off[zkpc];
+                        if (eo < 0) { defer = 1; break; }
+                        uint64_t o4[4], l4[4], used = 0;
+                        const uint64_t* code = &nx->expr_code[eo];
+                        if (expr_eval2(nx, code, step, o4, &used) ||
+                            expr_eval2(nx, code + used, step, l4, 0))
+                            { defer = 1; break; }
+                        if (o4[1] | o4[2] | o4[3]) { defer = 1; break; }
+                        if (l4[1] | l4[2] | l4[3] ||
+                            l4[0] < 1 || l4[0] > 32) { defer = 1; break; }
+                        uint64_t off = o4[0], len = l4[0], avail = 0;
+                        if (off < nx->batch_len) {
+                            avail = nx->batch_len - off;
+                            if (avail > len) avail = len;
+                        }
+                        uint8_t be[32];
+                        memset(be, 0, 32);
+                        if (avail)
+                            memcpy(be + 32 - avail, nx->batch_data + off,
+                                   avail);
+                        for (int i = 0; i < 8; i++) {
+                            const uint8_t* q = be + 32 - 4 * (i + 1);
+                            fi[i] = ((uint64_t)q[0] << 24) |
+                                    ((uint64_t)q[1] << 16) |
+                                    ((uint64_t)q[2] << 8) | q[3];
+                        }
+                        have_fi = 1;
+                        break;
+                    }
+                    case FN_GETTXSLEN: {
+                        fi[0] = nx->batch_len;
+                        have_fi = 1;
+                        break;
+                    }
                     default: defer = 1;
                 }
             }
@@ -983,6 +1185,39 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             }
             if (used & (1u << IN_FREE0))
                 op[0] = gl_add(op[0], gl_mul(coeffs[IN_FREE0], fi[0]));
+        }
+
+        // hashK/hashS append: record op bytes at HASHPOS into the native
+        // log (drained into ctx.hash_k/hash_s HashState by Python); any
+        // out-of-envelope case defers the whole line so Python raises the
+        // reference error (main_executor.cpp:2754-2761 value-beyond-size,
+        // size out of range)
+        if (fl & F_HASHA) {
+            int is1 = nx->fn_id[zkpc] & 2;
+            int kind = nx->fn_id[zkpc] & 1;
+            uint64_t nbytes = is1 ? 1 : st[S_D];
+            int bad = (nbytes < 1 || nbytes > 32 || !fea_ok(op));
+            uint8_t be[32];
+            if (!bad) {
+                for (int i = 0; i < 8; i++) {
+                    uint32_t limb = (uint32_t)op[i];
+                    uint8_t* q = be + 32 - 4 * (i + 1);
+                    q[0] = (uint8_t)(limb >> 24);
+                    q[1] = (uint8_t)(limb >> 16);
+                    q[2] = (uint8_t)(limb >> 8);
+                    q[3] = (uint8_t)limb;
+                }
+                for (uint64_t i = 0; i < 32 - nbytes; i++)
+                    if (be[i]) { bad = 1; break; }
+            }
+            if (bad) {
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
+            hlog_append(nx, (uint8_t)kind, addr, zkpc, st[S_HASHPOS],
+                        (uint8_t)nbytes, be + 32 - nbytes);
+            st[S_HASHPOS] = gl_add(st[S_HASHPOS], nbytes);
         }
 
         // memory op
@@ -1131,6 +1366,14 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
             st[S_RCX] = (st[S_RCX] - 1) % GLP;
             if (st[S_RCX] != 0) next_pc = zkpc;
         }
+
+        // commit staged cmd_after var writes (line completed natively)
+        for (int k = commit_after_from; k < nx->n_stage; k++) {
+            uint64_t* vb = &nx->var_block[nx->stage_slot[k] * 5];
+            memcpy(vb, nx->stage_val[k], 32);
+            vb[4] = 1;
+        }
+        nx->n_stage = 0;
 
         st[S_ZKPC] = next_pc;
     }

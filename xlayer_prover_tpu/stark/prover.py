@@ -360,11 +360,17 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     t_r1.__enter__()
     if host:
         # host pipeline: every ext section is ONE numpy array; the LDE and
-        # Merkle leaf hashing stream column blocks through the device
-        # (the section plan replacing the reference's 51 GB buffer)
+        # Merkle leaf hashing stream column blocks through the device, with
+        # the block width chosen by the StarkInfo memory planner (the
+        # section plan replacing the reference's 51 GB buffer,
+        # commit_pols.hpp:1735-1737 / starks.cpp:102-105)
+        from .stark_info import info_from_air, memory_plan
+        plan = memory_plan(info_from_air(air), n_devices=1)
+        blk = int(plan.get("stream_block_cols", 64))
         cm1_np = cm1_np.astype(np.uint64)
         cm1_n = None
-        cm1_ext = ntt.extend_pol_np(cm1_np, air.n_bits_ext)
+        cm1_ext = ntt.extend_pol_np(cm1_np, air.n_bits_ext,
+                                    block_cols=max(8, min(blk, 64)))
     else:
         cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
         cm1_ext = ntt.extend_pol(cm1_n, air.n_bits_ext)

@@ -198,6 +198,23 @@ class StarkInfo:
 # sections become named sharded arrays instead of one 51 GB buffer)
 # ---------------------------------------------------------------------------
 
+def info_from_air(air) -> "StarkInfo":
+    """Build the geometry-only StarkInfo for a live Air (so the memory
+    planner serves the prover directly, not just archive files)."""
+    return StarkInfo.from_json({
+        "starkStruct": {"nBits": air.n_bits, "nBitsExt": air.n_bits_ext,
+                        "nQueries": getattr(air, "n_queries", 8),
+                        "steps": [{"nBits": air.n_bits_ext}]},
+        "nConstants": air.const_width, "nPublics": air.n_publics,
+        "mapSectionsN": {
+            "const_n": air.const_width, "const_2ns": air.const_width,
+            "cm1_n": air.cm1_width, "cm1_2ns": air.cm1_width,
+            "cm2_n": air.cm2_width, "cm2_2ns": air.cm2_width,
+            "cm3_n": air.cm3_width, "cm3_2ns": air.cm3_width,
+            "q_2ns": air.cm4_width,
+        },
+    })
+
 def memory_plan(si: "StarkInfo", n_devices: int = 1,
                 hbm_bytes: int = 16 << 30) -> dict:
     """Byte budget per polynomial section and the per-device shard sizes
