@@ -93,3 +93,22 @@ def test_cancel_running_proof():
         assert req2.state.value == "completed"
     finally:
         svc.shutdown()
+
+
+def test_constants_tree_artifact_roundtrip(tmp_path, engine):
+    """Setup.save/load: the zkevmConstantsTree preload slot
+    (config.hpp:132-136) — a loaded Setup proves and verifies
+    identically to the freshly built one."""
+    eng, res = engine
+    path = str(tmp_path / "zkevm.consttree.npz")
+    fresh = eng.setup()
+    fresh.save(path)
+    loaded = prover.Setup.load(path, eng.air)
+    assert loaded.verkey == fresh.verkey
+    # second engine, preload path: must skip the build entirely
+    eng2 = BatchProver(mini_rom(), n_bits=13, chunk_bits=2, limb_bits=8,
+                       n_queries=4, max_steps=1 << 12)
+    s2 = eng2.setup(constants_tree_file=path)
+    assert s2.verkey == fresh.verkey
+    proof = prover.gen_proof(s2, res.cm1_np, res.publics)
+    assert verifier.verify(eng2.air, s2.verkey, proof)

@@ -107,6 +107,7 @@ def cmd_gen_batch_proof(cfg: Config, input_path: str, rom_path=None,
     if cfg.zkevm_cm_pols_file:
         BatchProver.save_cm_pols(cfg.zkevm_cm_pols_file, res)
         zklog.info(f"saved committed trace to {cfg.zkevm_cm_pols_file}")
+    engine.setup(cfg.zkevm_constants_tree)   # preload/persist const tree
     proof = engine.prove_from_trace(res.cm1_np, res.publics)
     t2 = time.perf_counter()
     verifier.verify(engine.air, engine.setup().verkey, proof)
@@ -133,6 +134,7 @@ def cmd_prove_from_cmpols(cfg: Config, path: str, rom_path=None,
                    or "/root/reference/src/main_sm/fork_9/scripts/rom.json")
     engine = BatchProver(rom, n_bits=n_bits, max_steps=1 << 22)
     cm1, publics = BatchProver.load_cm_pols(path)
+    engine.setup(cfg.zkevm_constants_tree)   # preload/persist const tree
     t0 = time.perf_counter()
     proof = engine.prove_from_trace(cm1, publics)
     t1 = time.perf_counter()

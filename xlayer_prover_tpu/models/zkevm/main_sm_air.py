@@ -347,6 +347,20 @@ def build(b: AirBuilder, rom: Rom, n_bits: int,
         p = b.public_value()
         publics[f"newStateRoot{i}"] = p
         b.constrain(last * (w[f"SR{i}"] - p))
+    # full reference publics surface (prover.cpp:494-543): newAccInputHash
+    # = D(lastN), newLocalExitRoot = E(lastN), newBatchNum = PC(lastN) —
+    # 44 publics total, same slot order
+    for i in range(8):
+        p = b.public_value()
+        publics[f"newAccInputHash{i}"] = p
+        b.constrain(last * (w[f"D{i}"] - p))
+    for i in range(8):
+        p = b.public_value()
+        publics[f"newLocalExitRoot{i}"] = p
+        b.constrain(last * (w[f"E{i}"] - p))
+    p = b.public_value()
+    publics["newBatchNum"] = p
+    b.constrain(last * (w["PC"] - p))
 
     return MainLayout(rom=rom, start_pc=start_pc, stop_pc=stop_pc,
                       range_bits=rb, n_jmpn_limbs=n_jmpn, fixed=fixed,
@@ -515,11 +529,15 @@ def expand_trace(layout: MainLayout, records, final_regs, cm1_np: np.ndarray):
 
 
 def publics_list(layout: MainLayout, records, final_regs):
-    """Public input vector in declaration order."""
+    """Public input vector in declaration order (the reference's 44-slot
+    layout, prover.cpp:494-543)."""
     first = records[0]["regs"]
     pubs = []
     pubs += [first["B"][i] for i in range(8)]       # oldStateRoot
     pubs += [first["C"][i] for i in range(8)]       # oldAccInputHash
     pubs += [first["SP"], first["GAS"], first["CTX"]]
     pubs += [final_regs["SR"][i] for i in range(8)]  # newStateRoot
+    pubs += [final_regs["D"][i] for i in range(8)]   # newAccInputHash
+    pubs += [final_regs["E"][i] for i in range(8)]   # newLocalExitRoot
+    pubs += [final_regs["PC"]]                       # newBatchNum
     return pubs

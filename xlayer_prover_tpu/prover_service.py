@@ -90,11 +90,23 @@ class BatchProver:
     def air(self):
         return self.executor.air
 
-    def setup(self):
+    def setup(self, constants_tree_file: str = ""):
+        """Build (or load) the preprocessed const pols + tree.  When
+        `constants_tree_file` names an existing artifact it is loaded
+        (the reference's zkevmConstantsTree preload, config.hpp:132);
+        when it names a missing path the freshly built Setup is saved
+        there for the next run."""
         if self._setup is None:
+            import os
+            if constants_tree_file and os.path.exists(constants_tree_file):
+                self._setup = stark_prover.Setup.load(constants_tree_file,
+                                                      self.air)
+                return self._setup
             from .models.zkevm import zkevm_air
             const_np = zkevm_air.fill_fixed(self.air, self.executor.layout)
             self._setup = stark_prover.Setup.build(self.air, const_np)
+            if constants_tree_file:
+                self._setup.save(constants_tree_file)
         return self._setup
 
     def execute_only(self, batch_input, batch_uuid: str = "batch"):

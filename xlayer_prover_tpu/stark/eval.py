@@ -35,7 +35,7 @@ class EvalEnv:
     """
 
     def __init__(self, sections, challenges, publics, x, l1, shift_rows: int,
-                 host: bool = False):
+                 host: bool = False, refcounts=None):
         self.sections = sections
         self.challenges = challenges
         self.publics = publics
@@ -44,6 +44,12 @@ class EvalEnv:
         self.shift_rows = shift_rows
         self.host = host
         self._memo = {}
+        # bounded memoization: with a refcount map (count_refs over the
+        # roots about to be evaluated) an entry is dropped after its last
+        # use, so peak memory is the live shared frontier instead of every
+        # subexpression ever computed — at 2^19+ rows the difference is
+        # tens of GB (r3: the 2^18 proof OOM'd at 87 GB without this)
+        self._remaining = dict(refcounts) if refcounts else None
 
     # -- tagged-value helpers -------------------------------------------
     def _add(self, a, b):
@@ -112,10 +118,20 @@ class EvalEnv:
         key = id(e)
         hit = self._memo.get(key)
         if hit is not None and hit[0] is e:
+            if self._remaining is not None:
+                self._remaining[key] -= 1
+                if self._remaining[key] <= 0:
+                    del self._memo[key]
             return hit[1]
         v = self._eval(e)
-        # keep the expr object alive so a GC'd node can't recycle its id
-        self._memo[key] = (e, v)
+        if self._remaining is None:
+            # keep the expr object alive so a GC'd node can't recycle its id
+            self._memo[key] = (e, v)
+        else:
+            rc = self._remaining.get(key, 1)
+            if rc > 1:
+                self._memo[key] = (e, v)
+                self._remaining[key] = rc - 1
         return v
 
     def eval_ext(self, e: Expr):
@@ -124,6 +140,7 @@ class EvalEnv:
         if k == "base":
             return gl3.from_base(v)
         return v
+
 
     def _col_values(self, c: Col):
         sec = self.sections[c.section]
@@ -211,3 +228,26 @@ class ScalarEnv:
                 return [(x - y) % P for x, y in zip(a, b)]
             return gl3._host_mul3(a, b)
         raise TypeError(type(e))
+
+
+def count_refs(roots) -> dict:
+    """DAG in-degree per node id over the expressions about to be
+    evaluated (each unique BinOp parent evaluates once, so one count per
+    child slot, plus one per top-level root) — feeds EvalEnv's bounded
+    memo.  The caller must keep `roots` alive while the counts are used."""
+    counts: dict = {}
+    seen = set()
+    stack = []
+    for r in roots:
+        counts[id(r)] = counts.get(id(r), 0) + 1
+        stack.append(r)
+    while stack:
+        e = stack.pop()
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        if isinstance(e, BinOp):
+            for ch in (e.a, e.b):
+                counts[id(ch)] = counts.get(id(ch), 0) + 1
+                stack.append(ch)
+    return counts

@@ -69,6 +69,38 @@ class Setup:
                          const_tree=tree, const_ext_np=const_ext_np,
                          const_n_np=const_np,
                          verkey=scheme.root(tree))
+        return Setup._build_device(air, const_np, scheme)
+
+    def save(self, path: str):
+        """Persist the preprocessed const artifacts (the reference's
+        zkevmConstantsTree/bctree file slot, config.hpp:132-136): const
+        pols, their LDE, every tree level and the verkey in one npz."""
+        assert self.const_n_np is not None, \
+            "artifact save is defined on the host representation"
+        levels = {f"level{i}": np.asarray(lv, dtype=np.uint64)
+                  for i, lv in enumerate(self.const_tree.levels)}
+        np.savez_compressed(
+            path, const_n=self.const_n_np, const_ext=self.const_ext_np,
+            verkey=np.array(self.verkey, dtype=np.uint64),
+            n_levels=np.int64(len(self.const_tree.levels)), **levels)
+
+    @staticmethod
+    def load(path: str, air) -> "Setup":
+        """Load a Setup.save artifact; shape-checked against the air."""
+        z = np.load(path)
+        const_n_np = z["const_n"]
+        assert const_n_np.shape == (air.n, air.const_width), \
+            "constants artifact does not match this air geometry"
+        levels = tuple(z[f"level{i}"]
+                       for i in range(int(z["n_levels"])))
+        tree = merkle.MerkleTree(levels=levels, width=air.const_width)
+        return Setup(air=air, const_n=None, const_ext=None,
+                     const_tree=tree, const_ext_np=z["const_ext"],
+                     const_n_np=const_n_np,
+                     verkey=[int(v) for v in z["verkey"]])
+
+    @staticmethod
+    def _build_device(air, const_np, scheme):
         const_n = gl.from_u64_np(const_np)
         if air.const_width:
             const_ext = ntt.extend_pol(const_n, air.n_bits_ext)
@@ -852,15 +884,18 @@ def _host_challenges(challenges: dict):
 def _host_quotient(air, setup, sections_ext_np, challenges, publics,
                    x_ext, l1_ext, zi_ext):
     from ..fields import glh
+    from .eval import count_refs
     n, n_ext = air.n, air.n_ext
     blowup = n_ext // n
+    roots = list(air_mod.all_constraints(air))
     env = EvalEnv(sections_ext_np, _host_challenges(challenges),
                   [np.uint64(p) for p in publics], gl.to_u64_np(x_ext),
-                  gl.to_u64_np(l1_ext), blowup, host=True)
+                  gl.to_u64_np(l1_ext), blowup, host=True,
+                  refcounts=count_refs(roots))
     ch = _host_challenges(challenges)
     vc = ch[CH_VC]
     acc = None
-    for c in air_mod.all_constraints(air):
+    for c in roots:
         val = env.eval(c)
         if val[0] == "base":
             val3 = glh.from_base3(np.broadcast_to(
