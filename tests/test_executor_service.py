@@ -177,3 +177,31 @@ def test_trace_config_opcode_steps():
     tr4.on_start_block(ctx, [])
     tr4.on_process_tx(ctx, [])          # txHash var missing -> 0 != 1234
     assert not tr4.current_tx.full_trace
+
+
+def test_multithread_client_drivers(service, tmp_path):
+    """runExecutorClientMultithread (executor_client.cpp): N concurrent
+    client threads each loop ProcessBatchV2 against one server — the
+    service must answer every request correctly under concurrency."""
+    import json
+
+    from xlayer_prover_tpu.main import cmd_executor_client
+    from xlayer_prover_tpu.utils.config import Config
+
+    server, impl = service
+    inp = tmp_path / "client_input.json"
+    inp.write_text(json.dumps({
+        "oldStateRoot": "0x" + "00" * 32,
+        "oldAccInputHash": "0x" + "00" * 32,
+        "batchL2Data": "0x0102",
+        "chainID": 1, "forkID": 9,
+    }))
+    cfg = Config()
+    cfg.run_executor_client_multithread = True
+    cfg.input_file = str(inp)
+    cfg.executor_client_host = "127.0.0.1"
+    cfg.executor_client_port = server.port
+    cfg.executor_client_loops = 3
+    cfg.max_executor_threads = 4
+    rc = cmd_executor_client(cfg)
+    assert rc == 0

@@ -181,6 +181,139 @@ def cmd_run_services(cfg: Config) -> int:
     return 0
 
 
+def cmd_script_generators(cfg: Config) -> int:
+    """runKeccakScriptGenerator / runSHA256ScriptGenerator
+    (main.cpp keccak/sha script dumps): levelize the gate circuit and
+    write the script JSON to the configured file slot."""
+    import numpy as np
+
+    out = {}
+    jobs = []
+    if cfg.run_keccak_script_generator:
+        jobs.append(("keccak", cfg.keccak_script_file or
+                     "keccak_script.json"))
+    if cfg.run_sha256_script_generator:
+        jobs.append(("sha256", cfg.sha256_script_file or
+                     "sha256_script.json"))
+    for kind, path in jobs:
+        if kind == "keccak":
+            from .models.zkevm import keccak_gates as mod
+        else:
+            from .models.zkevm import sha256_gates as mod
+        script = mod.build_script()
+        doc = {
+            "kind": kind,
+            "nInputs": script.n_inputs,
+            "nWires": script.n_wires,
+            "nGates": script.n_gates,
+            "depth": len(script.levels),
+            "outputs": [int(w) for w in np.asarray(script.outputs)],
+            "program": [{"op": int(op), "a": int(a), "b": int(b),
+                         "r": int(r)} for (op, a, b, r) in script.gates],
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        out[kind] = {"file": path, "gates": script.n_gates}
+        zklog.info(f"{kind} gate script -> {path} ({script.n_gates} gates)")
+    print(json.dumps(out))
+    return 0
+
+
+_SELF_TESTS = {
+    # config flag -> pytest targets (the reference's run*Test modes,
+    # config.hpp:40-60, map onto the suite's equivalent modules)
+    "run_keccak_test": ["tests/test_keccak_gates.py"],
+    "run_sha256_test": ["tests/test_sha256_gates.py"],
+    "run_storage_sm_test": ["tests/test_storage_executor.py",
+                            "tests/test_storage_rom.py"],
+    "run_climb_key_sm_test": ["tests/test_storage_rom.py"],
+    "run_binary_sm_test": ["tests/test_binary_sm.py"],
+    "run_mem_align_sm_test": ["tests/test_mem_align.py",
+                              "tests/test_mem_align_air.py"],
+    "run_ecrecover_test": ["tests/test_arith_ec.py"],
+    "run_database_cache_test": ["tests/test_db_caches.py"],
+    "run_database_performance_test": ["tests/test_db_caches.py"],
+    "run_check_tree_test": ["tests/test_smt.py"],
+    "run_page_manager_test": ["tests/test_page_manager.py"],
+    "run_key_value_tree_test": ["tests/test_kv_tree.py"],
+    "run_smt64_test": ["tests/test_hashdb64.py"],
+    "run_hashdb_test": ["tests/test_hashdb.py", "tests/test_hashdb64.py"],
+    "run_unit_test": ["tests/"],
+}
+
+
+def cmd_self_tests(cfg: Config) -> int:
+    """Dispatch the enabled run*Test flags to their suite modules."""
+    import os
+    import subprocess
+
+    targets = []
+    for flag, mods in _SELF_TESTS.items():
+        if getattr(cfg, flag):
+            targets.extend(m for m in mods if m not in targets)
+    if cfg.run_blake_test:
+        zklog.warning("runBlakeTest: blake is not part of the fork_9 "
+                      "proving path; no equivalent module")
+    if not targets:
+        zklog.warning("no self-test flags enabled")
+        return 1
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                          "-m", "not slow", *targets], cwd=root)
+    return rc
+
+
+def cmd_executor_client(cfg: Config) -> int:
+    """runExecutorClient / runExecutorClientMultithread
+    (executor_client.cpp): drive ProcessBatchV2 against a running
+    executor service, `executor_client_loops` times per thread."""
+    import concurrent.futures as futures
+
+    import grpc
+
+    from .services.executor_service import SERVICE
+    from .services.gen import executor_pb2
+
+    if not cfg.input_file:
+        zklog.error("executor client needs inputFile")
+        return 1
+    with open(cfg.input_file) as f:
+        data = json.load(f)
+    target = f"{cfg.executor_client_host}:{cfg.executor_client_port}"
+
+    def one_run(i: int):
+        channel = grpc.insecure_channel(target)
+        call = channel.unary_unary(
+            f"/{SERVICE}/ProcessBatchV2",
+            request_serializer=(
+                executor_pb2.ProcessBatchRequestV2.SerializeToString),
+            response_deserializer=(
+                executor_pb2.ProcessBatchResponseV2.FromString))
+        req = executor_pb2.ProcessBatchRequestV2(
+            old_state_root=bytes.fromhex(
+                data.get("oldStateRoot", "0x" + "00" * 32)[2:]),
+            old_acc_input_hash=bytes.fromhex(
+                data.get("oldAccInputHash", "0x" + "00" * 32)[2:]),
+            batch_l2_data=bytes.fromhex(
+                data.get("batchL2Data", "0x")[2:]),
+            chain_id=int(data.get("chainID", 1)),
+            fork_id=int(data.get("forkID", 9)),
+        )
+        ok = 0
+        for _ in range(max(1, cfg.executor_client_loops)):
+            resp = call(req, timeout=120)
+            if resp.error == 0:
+                ok += 1
+        return ok
+
+    n_threads = (cfg.max_executor_threads
+                 if cfg.run_executor_client_multithread else 1)
+    with futures.ThreadPoolExecutor(max_workers=n_threads) as pool:
+        results = list(pool.map(one_run, range(n_threads)))
+    print(json.dumps({"threads": n_threads, "ok_responses": sum(results)}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="xlayer-prover-tpu")
     ap.add_argument("-c", "--config", default=None)
@@ -207,6 +340,12 @@ def main(argv=None) -> int:
                                      args.n_bits)
     if args.prove_toy:
         return cmd_prove_toy(cfg)
+    if cfg.run_keccak_script_generator or cfg.run_sha256_script_generator:
+        return cmd_script_generators(cfg)
+    if cfg.run_executor_client or cfg.run_executor_client_multithread:
+        return cmd_executor_client(cfg)
+    if any(getattr(cfg, f) for f in _SELF_TESTS) or cfg.run_blake_test:
+        return cmd_self_tests(cfg)
     if args.run_services or cfg.run_executor_server or cfg.run_aggregator_client:
         return cmd_run_services(cfg)
     ap.print_help()
