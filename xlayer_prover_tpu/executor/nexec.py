@@ -273,12 +273,14 @@ def decode_rom(rom: Rom):
     py_flags = ["sRD", "sWR", "arithEq3", "arithEq4", "arithEq5",
                 "memAlignRD", "memAlignWR",
                 "memAlignWR8", "hashKLen", "hashKDigest",
-                "hashP", "hashP1", "hashPLen", "hashPDigest",
+                "hashPLen", "hashPDigest",
                 "hashSLen", "hashSDigest", "save", "restore"]
-    # hashK/hashS byte appends run natively (logged, drained into the
-    # Python HashStates at callback boundaries); hashP keeps its
-    # first-byte games in Python, Len/Digest need the full session
-    hash_append_flags = ["hashK", "hashK1", "hashS", "hashS1"]
+    # hashK/hashS/hashP byte appends run natively (logged, drained into
+    # the Python HashStates at callback boundaries — the drain applies
+    # hashP's first-byte games on the session); Len/Digest lines need
+    # the full session and stay in Python
+    hash_append_flags = ["hashK", "hashK1", "hashS", "hashS1",
+                         "hashP", "hashP1"]
     var_slots: dict = {}
 
     cmd_off = np.full(len(rom.program), -1, dtype=np.int64)
@@ -342,8 +344,9 @@ def decode_rom(rom: Rom):
                 pyline = True
             else:
                 fl |= F_HASHA
-                kind = 1 if hasha[0].startswith("hashS") else 0
-                is1 = 2 if hasha[0].endswith("1") else 0
+                kind = {"hashK": 0, "hashS": 1, "hashP": 2}[
+                    hasha[0].rstrip("1")]
+                is1 = 4 if hasha[0].endswith("1") else 0
                 fn_id[i] = kind | is1
         any_arith = line.flag("arith") or any(line.flag(f"arithEq{k}")
                                               for k in range(6))
@@ -608,9 +611,16 @@ class NativeMainExecutor:
             size = raw[off + 25]
             data = raw[off + 26:off + 26 + size]
             off += 26 + size
-            table = ctx.hash_s if kind else ctx.hash_k
+            table = (ctx.hash_k, ctx.hash_s, ctx.hash_p)[kind]
             st = table.setdefault(addr, HashState())
-            st.write(pos, data, zkpc)
+            games = kind == 2
+            seeds_zero = (games and pos == 1 and not st.data
+                          and not st.first_byte_written)
+            st.write(pos, data, zkpc, first_byte_games=games)
+            if seeds_zero:
+                # the zero placeholder byte is its own singleton read
+                # (main_executor.cpp:3000)
+                st.reads[0] = 1
             if st.reads.setdefault(pos, size) != size:
                 raise ZkError(ZkResult.PROVER_ERROR,
                               f"hash two read sizes at pos {pos}, "

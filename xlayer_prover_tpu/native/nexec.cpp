@@ -1193,8 +1193,8 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
         // reference error (main_executor.cpp:2754-2761 value-beyond-size,
         // size out of range)
         if (fl & F_HASHA) {
-            int is1 = nx->fn_id[zkpc] & 2;
-            int kind = nx->fn_id[zkpc] & 1;
+            int is1 = nx->fn_id[zkpc] & 4;
+            int kind = nx->fn_id[zkpc] & 3;   // 0=hashK 1=hashS 2=hashP
             uint64_t nbytes = is1 ? 1 : st[S_D];
             int bad = (nbytes < 1 || nbytes > 32 || !fea_ok(op));
             uint8_t be[32];
