@@ -238,6 +238,7 @@ _SELF_TESTS = {
     "run_key_value_tree_test": ["tests/test_kv_tree.py"],
     "run_smt64_test": ["tests/test_hashdb64.py"],
     "run_hashdb_test": ["tests/test_hashdb.py", "tests/test_hashdb64.py"],
+    "run_blake_test": ["tests/test_blake.py"],
     "run_unit_test": ["tests/"],
 }
 
@@ -251,9 +252,6 @@ def cmd_self_tests(cfg: Config) -> int:
     for flag, mods in _SELF_TESTS.items():
         if getattr(cfg, flag):
             targets.extend(m for m in mods if m not in targets)
-    if cfg.run_blake_test:
-        zklog.warning("runBlakeTest: blake is not part of the fork_9 "
-                      "proving path; no equivalent module")
     if not targets:
         zklog.warning("no self-test flags enabled")
         return 1
