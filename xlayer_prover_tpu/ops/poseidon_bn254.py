@@ -35,10 +35,87 @@ def _constants():
     return d["C"], d["M"], d["P"], d["S"]
 
 
+# ---------------------------------------------------------------------------
+# Native core (native/posbn.cpp): generic 4x64 Montgomery permutation; the
+# BN128 Merkle trees hash millions of leaves per recursiveF proof, which
+# is hours in Python ints and minutes in C.
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TS: set = set()
+
+
+def _limbs(x: int) -> List[int]:
+    return [(x >> (64 * k)) & 0xFFFFFFFFFFFFFFFF for k in range(4)]
+
+
+def _to_arr(values, mont: bool):
+    import ctypes
+    flat: List[int] = []
+    for v in values:
+        v = int(v) % P
+        if mont:
+            v = (v << 256) % P
+        flat.extend(_limbs(v))
+    return (ctypes.c_uint64 * len(flat))(*flat)
+
+
+@functools.lru_cache(maxsize=1)
+def _native_lib():
+    import ctypes
+    path = os.path.join(os.path.dirname(__file__), "..", "native",
+                        "libposbn.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(os.path.abspath(path))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.posbn_init.argtypes = [u64p, u64p, ctypes.c_uint64]
+    lib.posbn_set_params.argtypes = [
+        ctypes.c_int, ctypes.c_int, u64p, ctypes.c_uint64, u64p, u64p,
+        u64p, ctypes.c_uint64]
+    lib.posbn_permute.restype = ctypes.c_int
+    lib.posbn_permute.argtypes = [ctypes.c_int, u64p]
+    lib.posbn_permute_batch.restype = ctypes.c_int
+    lib.posbn_permute_batch.argtypes = [ctypes.c_int, ctypes.c_uint64,
+                                        u64p]
+    import ctypes as _ct
+    r2 = (1 << 512) % P
+    n0inv = (-pow(P, -1, 1 << 64)) % (1 << 64)
+    # the modulus must NOT pass through _to_arr's mod-P reduction
+    lib.posbn_init((_ct.c_uint64 * 4)(*_limbs(P)), _to_arr([r2], False),
+                   n0inv)
+    return lib
+
+
+def _native_ready(t: int):
+    lib = _native_lib()
+    if lib is None:
+        return None
+    if t not in _NATIVE_TS:
+        C, M, Pm, S = _constants()
+        c, m, pmat, s = C[t - 2], M[t - 2], Pm[t - 2], S[t - 2]
+        mf = [m[j][i] for j in range(t) for i in range(t)]
+        pf = [pmat[j][i] for j in range(t) for i in range(t)]
+        lib.posbn_set_params(t, N_ROUNDS_P[t - 2],
+                             _to_arr(c, True), len(c),
+                             _to_arr(mf, True), _to_arr(pf, True),
+                             _to_arr(s, True), len(s))
+        _NATIVE_TS.add(t)
+    return lib
+
+
 def permute(state: Sequence[int]) -> List[int]:
     """Full Poseidon permutation; t = len(state) in [2, 17]."""
     t = len(state)
     assert 2 <= t <= 17
+    lib = _native_ready(t)
+    if lib is not None:
+        io = _to_arr(state, False)
+        if lib.posbn_permute(t, io) == 0:
+            raw = list(io)
+            return [raw[i * 4] | (raw[i * 4 + 1] << 64)
+                    | (raw[i * 4 + 2] << 128) | (raw[i * 4 + 3] << 192)
+                    for i in range(t)]
     C, M, Pm, S = _constants()
     c, m, pmat, s = C[t - 2], M[t - 2], Pm[t - 2], S[t - 2]
     nrp = N_ROUNDS_P[t - 2]

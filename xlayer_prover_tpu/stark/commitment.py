@@ -121,17 +121,72 @@ class BN128Tree:
         return self.levels[-1][0]
 
 
+def _permute_batch(states: List[List[int]]) -> List[List[int]]:
+    """Batch permutations of uniform width through the native core (one
+    ctypes call), falling back per-state to the Python path."""
+    if not states:
+        return []
+    t = len(states[0])
+    lib = poseidon_bn254._native_ready(t)
+    if lib is None:
+        return [poseidon_bn254.permute(s) for s in states]
+    import ctypes
+    n = len(states)
+    flat = []
+    mask = 0xFFFFFFFFFFFFFFFF
+    for s in states:
+        for v in s:
+            v = int(v) % FR_P
+            flat.extend(((v >> (64 * k)) & mask for k in range(4)))
+    io = (ctypes.c_uint64 * len(flat))(*flat)
+    rc = lib.posbn_permute_batch(t, n, io)
+    assert rc == 0
+    raw = list(io)
+    out = []
+    for b in range(n):
+        base = b * t * 4
+        out.append([raw[base + i * 4] | (raw[base + i * 4 + 1] << 64)
+                    | (raw[base + i * 4 + 2] << 128)
+                    | (raw[base + i * 4 + 3] << 192) for i in range(t)])
+    return out
+
+
+def _leaf_hashes_batch(rows_u64: np.ndarray) -> List[int]:
+    """linearHash over every row, absorb-round-batched: all rows share
+    one packed width, so each sponge round is a single uniform-width
+    native batch (merkleTreeBN128.cpp:90-154 semantics unchanged)."""
+    height, w = rows_u64.shape
+    if w <= 4:
+        return [leaf_hash_bn128(list(rows_u64[i])) for i in range(height)]
+    packed = [_pack_row(list(rows_u64[i])) for i in range(height)]
+    digests = [0] * height
+    pos = 0
+    total = len(packed[0])
+    while pos < total:
+        batch = min(ARITY, total - pos)
+        pad = [0] * (ARITY - batch) if batch == ARITY else []
+        states = [[digests[i]] + packed[i][pos:pos + batch] + pad
+                  for i in range(height)]
+        outs = _permute_batch(states)
+        for i in range(height):
+            digests[i] = outs[i][0]
+        pos += batch
+    return digests
+
+
 def build_tree_bn128(rows_u64: np.ndarray) -> BN128Tree:
     height = rows_u64.shape[0]
-    leaves = [leaf_hash_bn128(list(rows_u64[i])) for i in range(height)]
+    leaves = _leaf_hashes_batch(rows_u64)
     levels = [leaves]
     cur = leaves
     while len(cur) > 1:
-        nxt = []
+        states = []
         for i in range(0, len(cur), ARITY):
             group = cur[i:i + ARITY]
             group = group + [0] * (ARITY - len(group))
-            nxt.append(poseidon_bn254.permute([0] + group)[0])
+            states.append([0] + group)
+        outs = _permute_batch(states)
+        nxt = [o[0] for o in outs]
         levels.append(nxt)
         cur = nxt
     return BN128Tree(levels=levels, height=height)
