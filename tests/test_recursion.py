@@ -99,3 +99,43 @@ def test_recursive2_shape_stable_aggregation(inner):
     assert r2.verify(a123)
     # payload carried through (default out_map: p1's payload)
     assert a123.publics[4:] == a12.publics[4:]
+
+
+def test_recursive2_link_constraints(inner):
+    """The in-circuit chain rule: a link (i, j) pins payload1[i] ==
+    payload2[j].  A holding link proves+verifies; a violated link breaks
+    the witness (the assert gate's output wire is nonzero, so the trace
+    no longer satisfies the gate AIR)."""
+    import pytest as _pytest
+
+    from xlayer_prover_tpu.recursion.engine import (Recursive2,
+                                                    build_recursion_pair,
+                                                    flatten_proof)
+    air, setup, proof, cm1_np, publics = inner
+    assert publics[0] != publics[2]
+    # payload[0] == payload[0] across two identical proofs: holds
+    r1, r2 = build_recursion_pair(air, setup.verkey, n_queries=4,
+                                  link=[(0, 0)])
+    p1 = r1.prove(proof)
+    agg = r2.prove(p1, p1)
+    assert r2.verify(agg)
+    # a violated link (payload[0] == payload[2]) fails the assert gate at
+    # witness time — the tracer refuses to execute (circuit.py:304-311)
+    tracer_bad = Recursive2.trace(r1.air, r1.verkey, [(0, 2)],
+                                  [("p1", i)
+                                   for i in range(r1.air.n_publics - 4)])
+    inputs = [int(v) % P for v in r2.setup.verkey] \
+        + flatten_proof(r1.air, p1) + flatten_proof(r1.air, p1)
+    with _pytest.raises(ValueError):
+        tracer_bad.run(inputs)
+
+
+def test_zkevm_chain_spec_shapes():
+    from xlayer_prover_tpu.recursion.stack import zkevm_chain_spec
+    for n in (27, 44):
+        link, out_map = zkevm_chain_spec(n)
+        assert link == [(19 + k, k) for k in range(8)]
+        assert len(out_map) == n
+        assert out_map[0] == ("p1", 0)
+        assert out_map[19] == ("p2", 19)
+        assert out_map[-1] == ("p2", n - 1)

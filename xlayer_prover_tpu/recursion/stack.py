@@ -24,6 +24,18 @@ from ..utils.log import zklog
 from .engine import Recursive1, Recursive2, RecursiveF, build_recursion_pair
 
 
+def zkevm_chain_spec(n_publics: int):
+    """(link, out_map) for the zkEVM publics layout (prover.cpp:494-543):
+    the chain rule pins p1.newStateRoot == p2.oldStateRoot in-circuit and
+    the aggregate exposes old* from p1 and new* from p2 — recursive2's
+    semantics for both the 27-slot (legacy) and 44-slot layouts."""
+    assert n_publics in (27, 44), n_publics
+    link = [(19 + k, k) for k in range(8)]
+    out_map = [("p1", i) for i in range(19)] + \
+              [("p2", i) for i in range(19, n_publics)]
+    return link, out_map
+
+
 @dataclasses.dataclass
 class RecursiveProof:
     level: int            # 1 = recursive1 output, 2 = aggregation output
