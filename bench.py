@@ -29,12 +29,20 @@ import time
 
 import numpy as np
 
-_CHILD_TIMEOUT_S = 600.0
+_CHILD_TIMEOUT_S = 1800.0
+_JAXCACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jaxcache")
 
 
 def _device_bench():
     """Runs in the child subprocess: timed device benches, forced."""
     import jax
+    # Persistent compilation cache: the axon tunnel compiles remotely and
+    # the big Merkle/pipeline graphs take minutes cold; cached reruns
+    # dispatch in seconds.
+    os.makedirs(_JAXCACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _JAXCACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from xlayer_prover_tpu.fields import gl

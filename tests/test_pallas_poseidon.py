@@ -51,6 +51,24 @@ def test_small_mds_path_matches(rng):
     assert np.array_equal(got, exp)
 
 
+def test_small_lazy_and_transposed_match(rng):
+    """The lazy-reduction path (the TPU hot-path default: non-canonical
+    intermediates, one cond-sub at the end) and the lane-major transposed
+    path are bit-exact vs the u64 XLA path, incl. boundary values."""
+    from xlayer_prover_tpu.ops.pallas_poseidon import (permute_small_lazy,
+                                                       permute_small_t)
+    states = rng.integers(0, gl.P, size=(64, 12), dtype=np.uint64)
+    states[0] = 0
+    states[1] = gl.P - 1
+    states[2] = (1 << 32) - 1
+    states[3] = 1 << 32
+    exp = gl.to_u64_np(poseidon_gl.permute_u64(gl.from_u64_np(states)))
+    got = np.asarray(permute_small_lazy(gl.from_u64_np(states)))
+    assert np.array_equal(got, exp)
+    got_t = np.asarray(permute_small_t(gl.from_u64_np(states)))
+    assert np.array_equal(got_t, exp)
+
+
 def test_mxu_mds_layer_matches(rng):
     """The MXU MDS layer (exact bf16 limb matmul + 8-bit carry composition
     + Goldilocks reduction) is bit-exact vs a host MDS oracle.

@@ -34,6 +34,9 @@ def _load():
     lib.poseidon_permute_batch.argtypes = [ctypes.POINTER(ctypes.c_uint64),
                                            ctypes.c_uint64]
     lib.poseidon_permute_batch.restype = ctypes.c_int
+    lib.poseidon_linear_hash_bytes.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
+    lib.poseidon_linear_hash_bytes.restype = ctypes.c_int
 
     from ..ops import poseidon_constants as pc
     consts, mds, _ = pc.get_params()
@@ -72,6 +75,30 @@ def poseidon_permute(state12):
     buf[:] = [int(v) for v in state12]
     assert lib.poseidon_permute(buf) == 0
     return list(buf)
+
+
+_LH_BUF = (ctypes.c_uint64 * 4)()
+
+
+def poseidon_linear_hash_bytes(data: bytes):
+    """Reference poseidonLinearHash over a byte stream -> 4 GL elements
+    (native one-call path; python fallback chunks through the permute)."""
+    lib = _load()
+    if lib is not None:
+        buf = _LH_BUF
+        assert lib.poseidon_linear_hash_bytes(data, len(data), buf) == 0
+        return (int(buf[0]), int(buf[1]), int(buf[2]), int(buf[3]))
+    padded = bytearray(data)
+    padded.append(0x01)
+    while len(padded) % 56 != 0:
+        padded.append(0)
+    padded[-1] |= 0x80
+    elements = [int.from_bytes(padded[i:i + 7], "little")
+                for i in range(0, len(padded), 7)]
+    digest = [0, 0, 0, 0]
+    for start in range(0, len(elements), 8):
+        digest = poseidon_permute(elements[start:start + 8] + digest)[:4]
+    return tuple(digest)
 
 
 def poseidon_permute_batch(states: np.ndarray) -> np.ndarray:

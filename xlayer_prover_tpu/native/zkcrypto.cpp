@@ -124,6 +124,7 @@ static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
 
 static uint64_t POSEIDON_C[360];
 static uint64_t POSEIDON_M[12][12];
+static uint64_t POSEIDON_MT[12][12];  // transposed: MT[j][i] = M[i][j]
 // entries small enough for the raw-u128 MDS accumulation (see mds())
 static int poseidon_m_small = 0;
 static int poseidon_ready = 0;
@@ -136,6 +137,7 @@ void poseidon_init(const uint64_t *c, const uint64_t *m, int rf, int rp) {
   for (int i = 0; i < 12; i++)
     for (int j = 0; j < 12; j++) {
       POSEIDON_M[i][j] = m[i * 12 + j];
+      POSEIDON_MT[j][i] = m[i * 12 + j];
       if (POSEIDON_M[i][j] >= (1ULL << 32)) poseidon_m_small = 0;
     }
   POSEIDON_RF = rf;
@@ -169,9 +171,25 @@ static inline uint64_t gl_reduce128(__uint128_t w) {
 static void mds(uint64_t *st) {
   uint64_t out[12];
   if (poseidon_m_small) {
+    // split-32 accumulation: products m * st_lo32 / m * st_hi32 both fit
+    // u64 (12 * 41 * 2^32 < 2^41 headroom each) so the 144-MAC inner loops
+    // are plain u64 multiply-adds the compiler vectorizes (AVX2), vs the
+    // unvectorizable u128 MAC chain; recombine via 2^32 shift into one
+    // 128-bit reduction per output.
+    uint64_t lo32[12], hi32[12];
+    for (int i = 0; i < 12; i++) {
+      lo32[i] = st[i] & 0xFFFFFFFFULL;
+      hi32[i] = st[i] >> 32;
+    }
     for (int j = 0; j < 12; j++) {
-      __uint128_t acc = 0;
-      for (int i = 0; i < 12; i++) acc += ( __uint128_t )st[i] * POSEIDON_M[i][j];
+      uint64_t acc_lo = 0, acc_hi = 0;
+      const uint64_t *mt = POSEIDON_MT[j];
+      for (int i = 0; i < 12; i++) {
+        acc_lo += mt[i] * lo32[i];
+        acc_hi += mt[i] * hi32[i];
+      }
+      __uint128_t acc = ( __uint128_t )acc_hi << 32;
+      acc += acc_lo;
       out[j] = gl_reduce128(acc);
     }
   } else {
@@ -210,6 +228,39 @@ int poseidon_permute(uint64_t *st) {  // 12 elements in/out
 int poseidon_permute_batch(uint64_t *st, uint64_t n) {
   if (!poseidon_ready) return -1;
   for (uint64_t k = 0; k < n; k++) poseidon_permute(st + 12 * k);
+  return 0;
+}
+
+// Poseidon linear hash of a byte stream: append 0x01, zero-pad to 56*N
+// bytes, OR 0x80 into the last byte, pack 7 bytes/element little-endian,
+// absorb 8-element chunks with the previous digest as capacity (the
+// reference's poseidonLinearHash, utils.cpp:677-712 — hashP digests and
+// contract bytecode hashes).  One ctypes crossing per digest instead of
+// one per 56-byte chunk.
+int poseidon_linear_hash_bytes(const uint8_t *data, uint64_t len,
+                               uint64_t *out4) {
+  if (!poseidon_ready) return -1;
+  uint64_t padded_len = ((len + 1 + 55) / 56) * 56;
+  uint64_t n_elems = padded_len / 7;
+  uint64_t digest[4] = {0, 0, 0, 0};
+  uint64_t st[12];
+  for (uint64_t start = 0; start < n_elems; start += 8) {
+    for (int k = 0; k < 8; k++) {
+      uint64_t e = 0;
+      uint64_t base = (start + k) * 7;
+      for (int b = 0; b < 7; b++) {
+        uint64_t pos = base + b;
+        uint8_t byte = pos < len ? data[pos] : (pos == len ? 0x01 : 0x00);
+        if (pos == padded_len - 1) byte |= 0x80;
+        e |= (uint64_t)byte << (8 * b);
+      }
+      st[k] = e;
+    }
+    for (int k = 0; k < 4; k++) st[8 + k] = digest[k];
+    poseidon_permute(st);
+    for (int k = 0; k < 4; k++) digest[k] = st[k];
+  }
+  for (int k = 0; k < 4; k++) out4[k] = digest[k];
   return 0;
 }
 

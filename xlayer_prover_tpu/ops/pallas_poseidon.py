@@ -35,7 +35,13 @@ TILE = 256  # states per kernel invocation
 
 
 def _mul(alo, ahi, blo, bhi):
-    """Goldilocks mul on uint32 limb pairs (16-bit half products)."""
+    return _cond_sub_p(*_mul_nc(alo, ahi, blo, bhi))
+
+
+def _mul_nc(alo, ahi, blo, bhi):
+    """Goldilocks mul on uint32 limb pairs (16-bit half products).
+    Returns a non-canonical representative in [0, 2^64) — exact for ANY
+    64-bit inputs (the limb decomposition never assumes < p)."""
     a0 = alo & MASK16
     a1 = alo >> 16
     a2 = ahi & MASK16
@@ -91,7 +97,7 @@ def _mul(alo, ahi, blo, bhi):
     cc = (slo2 < slo).astype(jnp.uint32)
     lo = jnp.where(carry_out == 1, slo2, slo)
     hi = jnp.where(carry_out == 1, shi + cc, shi)
-    return _cond_sub_p(lo, hi)
+    return lo, hi
 
 
 def _cond_sub_p(lo, hi):
@@ -102,6 +108,15 @@ def _cond_sub_p(lo, hi):
 
 
 def _add(alo, ahi, blo, bhi):
+    lo, hi = _add_nc(alo, ahi, blo, bhi)
+    return _cond_sub_p(lo, hi)
+
+
+def _add_nc(alo, ahi, blo, bhi):
+    """Lazy add: result in [0, 2^64) congruent mod p, NOT canonicalized.
+    Sound as long as consumers (the 16-bit-limb mul, the small-MDS plane
+    decomposition) accept any 64-bit representative — they do; the
+    permutation canonicalizes once at the end."""
     lo = alo + blo
     c0 = (lo < alo).astype(jnp.uint32)
     hi0 = ahi + bhi
@@ -113,7 +128,7 @@ def _add(alo, ahi, blo, bhi):
     cc = (lo2 < lo).astype(jnp.uint32)
     lo = jnp.where(carry == 1, lo2, lo)
     hi = jnp.where(carry == 1, hi + cc, hi)
-    return _cond_sub_p(lo, hi)
+    return lo, hi
 
 
 def _sbox(lo, hi):
@@ -285,6 +300,71 @@ def _mds_small(lo, hi):
     return _add(lo, hi, jnp.zeros_like(top) - top, top - nz)
 
 
+def _sbox_nc(lo, hi):
+    l2, h2 = _mul_nc(lo, hi, lo, hi)
+    l4, h4 = _mul_nc(l2, h2, l2, h2)
+    l6, h6 = _mul_nc(l4, h4, l2, h2)
+    return _mul_nc(l6, h6, lo, hi)
+
+
+def _mds_small_nc(lo, hi):
+    m = jnp.asarray(_mds_small_table())            # (12, 12) u32
+    a0 = jnp.sum((lo & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a1 = jnp.sum((lo >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a2 = jnp.sum((hi & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a3 = jnp.sum((hi >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    n0 = a0 & MASK16
+    t1 = (a0 >> 16) + a1
+    n1 = t1 & MASK16
+    t2 = (t1 >> 16) + a2
+    n2 = t2 & MASK16
+    t3 = (t2 >> 16) + a3
+    n3 = t3 & MASK16
+    top = t3 >> 16
+    lo = n0 | (n1 << 16)
+    hi = n2 | (n3 << 16)
+    nz = (top != 0).astype(jnp.uint32)
+    return _add_nc(lo, hi, jnp.zeros_like(top) - top, top - nz)
+
+
+@jax.jit
+def permute_small_lazy(states_u64):
+    """permute_small with lazy (non-canonical) intermediates: every mul/add
+    keeps values in [0, 2^64) congruent mod p; ONE conditional subtraction
+    canonicalizes the final state.  Bit-exact with permute_small (the limb
+    decompositions are exact over the full 64-bit range)."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32)
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][None, :], cr[1][None, :])
+        lo, hi = _sbox_nc(lo, hi)
+        return _mds_small_nc(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][None, :], cr[1][None, :])
+        s_lo, s_hi = _sbox_nc(lo[:, 0:1], hi[:, 0:1])
+        lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
+        hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
+        return _mds_small_nc(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    lo, hi = _cond_sub_p(*st)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
 @jax.jit
 def permute_small(states_u64):
     """(batch, 12) uint64 -> (batch, 12): u32-pair S-box + small-entry
@@ -319,6 +399,98 @@ def permute_small(states_u64):
                          (clo[half + nrp:], chi[half + nrp:]))
     lo, hi = st
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# Lane-major ("transposed") small-MDS path: state carried as (12, batch)
+# planes.  In the (batch, 12) layout the minor axis is 12, so VPU tiles
+# (sublane x 128 lanes) run 12/128 full — ~10x of the machine idles.  With
+# batch on the minor axis every elementwise op and every MDS
+# multiply-accumulate runs full-width.  Arithmetic is identical to
+# permute_small (bit-exact); only the data layout differs.
+# ---------------------------------------------------------------------------
+
+
+def _mds_small_t(lo, hi):
+    """lo, hi: (12, batch) u32 planes -> MDS output planes (12, batch).
+
+    out_j = sum_i s_i * M[i][j]; per 16-bit plane the products are
+    6-bit x 16-bit accumulated over 12 terms (< 2^26, exact in u32),
+    then one carry composition + Goldilocks reduction — unrolled so each
+    term is a full-lane (batch,) vector op."""
+    m = _mds_small_table()                         # (12, 12) numpy u32
+    planes = (lo & MASK16, lo >> 16, hi & MASK16, hi >> 16)
+    accs = []
+    for p in planes:
+        outs = []
+        for j in range(12):
+            acc = None
+            for i in range(12):
+                c = int(m[i][j])
+                if c == 0:
+                    continue
+                term = p[i] * np.uint32(c)
+                acc = term if acc is None else acc + term
+            outs.append(acc if acc is not None else jnp.zeros_like(p[0]))
+        accs.append(jnp.stack(outs))
+    a0, a1, a2, a3 = accs
+    n0 = a0 & MASK16
+    t1 = (a0 >> 16) + a1
+    n1 = t1 & MASK16
+    t2 = (t1 >> 16) + a2
+    n2 = t2 & MASK16
+    t3 = (t2 >> 16) + a3
+    n3 = t3 & MASK16
+    top = t3 >> 16
+    lo = n0 | (n1 << 16)
+    hi = n2 | (n3 << 16)
+    nz = (top != 0).astype(jnp.uint32)
+    return _add(lo, hi, jnp.zeros_like(top) - top, top - nz)
+
+
+@jax.jit
+def permute_small_tt(lo, hi):
+    """Transposed-plane permutation: (12, batch) u32 (lo, hi) -> same.
+    Bit-exact with permute_small; layout keeps batch on the VPU lanes."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][:, None], cr[1][:, None])
+        lo, hi = _sbox(lo, hi)
+        return _mds_small_t(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add(lo, hi, cr[0][:, None], cr[1][:, None])
+        s_lo, s_hi = _sbox(lo[0:1], hi[0:1])
+        lo = jnp.concatenate([s_lo, lo[1:]], axis=0)
+        hi = jnp.concatenate([s_hi, hi[1:]], axis=0)
+        return _mds_small_t(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    return st
+
+
+@jax.jit
+def permute_small_t(states_u64):
+    """(batch, 12) uint64 -> (batch, 12): transpose to lane-major planes,
+    permute full-width, transpose back.  The two transposes move
+    12 x batch x 8 B — noise against 30 rounds of arithmetic."""
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).T
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32).T
+    lo, hi = permute_small_tt(lo, hi)
+    return (lo.astype(jnp.uint64) | (hi.astype(jnp.uint64)
+                                     << jnp.uint64(32))).T
 
 
 # ---------------------------------------------------------------------------

@@ -82,12 +82,15 @@ def permute_u64(state):
 
 
 # Backend selection for the hot path (linear_hash / hash_node / Merkle):
-#   u64   — XLA uint64 emulation (reference path, fastest CPU compile)
-#   small — u32-pair S-box + small-entry VPU MDS (pallas_poseidon)
-#   mxu   — u32-pair S-box + exact bf16 limb matmul MDS on the MXU
+#   u64        — XLA uint64 emulation (reference path, fastest CPU compile)
+#   small      — u32-pair S-box + small-entry VPU MDS (pallas_poseidon)
+#   small_lazy — same with non-canonical intermediates (one cond-sub at
+#                the end); measured fastest on v5e silicon (~16 Mperm/s
+#                vs 14 for small, 12 mxu, 4 u64 — see BENCH_r03)
+#   mxu        — u32-pair S-box + exact bf16 limb matmul MDS on the MXU
 # "auto" resolves per jax backend: CPU keeps u64 (native 64-bit ALUs and
-# small compile graphs); TPU uses the small-MDS u32 path (no native u64
-# lanes; measured fastest on v5e — see BENCH_r03).
+# small compile graphs); TPU uses the lazy small-MDS u32 path (no native
+# u64 lanes).
 import os as _os
 
 _BACKEND = _os.environ.get("XLAYER_POSEIDON_BACKEND", "auto")
@@ -96,7 +99,7 @@ _BACKEND = _os.environ.get("XLAYER_POSEIDON_BACKEND", "auto")
 def _resolve_backend() -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    return "u64" if jax.default_backend() == "cpu" else "small"
+    return "u64" if jax.default_backend() == "cpu" else "small_lazy"
 
 
 def permute(state):
@@ -108,7 +111,8 @@ def permute(state):
     if kind == "u64":
         return permute_u64(state)
     from . import pallas_poseidon as pp
-    fn = {"small": pp.permute_small, "mxu": pp.permute_mxu,
+    fn = {"small": pp.permute_small, "small_lazy": pp.permute_small_lazy,
+          "small_t": pp.permute_small_t, "mxu": pp.permute_mxu,
           "u32": pp.permute_u32}[kind]
     if state.ndim == 2:
         return fn(state)

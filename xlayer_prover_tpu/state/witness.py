@@ -99,18 +99,11 @@ def _linear_hash_bytes(data: bytes):
     56*N bytes, pack 7 bytes/element little-endian, absorb in 8-element
     chunks with the previous digest as capacity (the reference's
     poseidonLinearHash, utils.cpp:677-712; used for hashP digests and
-    contract bytecode hashes)."""
-    padded = bytearray(data)
-    padded.append(0x01)
-    while len(padded) % 56 != 0:
-        padded.append(0)
-    padded[-1] |= 0x80
-    elements = [int.from_bytes(padded[i:i + 7], "little")
-                for i in range(0, len(padded), 7)]
-    digest = [0, 0, 0, 0]
-    for start in range(0, len(elements), 8):
-        digest = poseidon_permute(elements[start:start + 8] + digest)[:4]
-    return tuple(digest)
+    contract bytecode hashes).  One native call per digest (a bytecode
+    blob costs hundreds of 56-byte chunks — per-chunk ctypes crossings
+    dominated the executor's hashPDigest path)."""
+    from ..native import poseidon_linear_hash_bytes
+    return poseidon_linear_hash_bytes(bytes(data))
 
 
 def witness2db(witness: bytes) -> WitnessResult:
