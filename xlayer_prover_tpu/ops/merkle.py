@@ -107,6 +107,37 @@ def get_proof(tree: MerkleTree, idx: int):
     return path
 
 
+def get_proofs_batch(tree: MerkleTree, indices):
+    """Sibling paths for many leaves with ONE device gather per level and
+    ONE host pull total: (len(indices), n_levels, 4) uint64.  The per-leaf
+    per-level pulls of get_proof cost a tunnel round-trip each on remote
+    devices (reference getGroupProof walks host memory, merkleTreeGL.cpp);
+    levels already on the host (numpy) are indexed directly."""
+    idx = np.asarray(list(indices), dtype=np.int64)
+    parts = []
+    cur = idx.copy()
+    for level in tree.levels[:-1]:
+        sib = cur ^ 1
+        if isinstance(level, np.ndarray):
+            parts.append(jnp.asarray(level[sib]))
+        else:
+            parts.append(jnp.take(level, jnp.asarray(sib), axis=0))
+        cur >>= 1
+    if not parts:
+        return np.zeros((len(idx), 0, 4), dtype=np.uint64)
+    stacked = jnp.stack(parts, axis=1)          # (n_idx, n_levels, 4)
+    return np.asarray(jax.device_get(stacked), dtype=np.uint64)
+
+
+def gather_rows(source, indices) -> np.ndarray:
+    """Query-row extraction: (len(indices), width) uint64 with one pull."""
+    idx = np.asarray(list(indices), dtype=np.int64)
+    if isinstance(source, np.ndarray):
+        return source[idx].astype(np.uint64)
+    rows = jnp.take(source, jnp.asarray(idx), axis=0)
+    return np.asarray(jax.device_get(rows), dtype=np.uint64)
+
+
 def get_proofs_np(tree: MerkleTree, indices):
     """Sibling paths for many leaves with ONE host pull per level."""
     levels_np = [gl.to_u64_np(lv) for lv in tree.levels[:-1]]

@@ -56,6 +56,15 @@ class GLScheme:
         return ([int(v) for v in source_np[idx]],
                 [[int(x) for x in s] for s in path])
 
+    def open_many(self, tree, source, idxs):
+        """Batched openings: one row gather + one path gather (single host
+        pull each) — sources/levels may live on a remote device."""
+        rows = merkle_gl.gather_rows(source, idxs)
+        paths = merkle_gl.get_proofs_batch(tree, idxs)
+        return [([int(v) for v in rows[k]],
+                 [[int(x) for x in lvl] for lvl in paths[k]])
+                for k in range(len(idxs))]
+
     def verify(self, root, idx: int, leaf_values, siblings) -> bool:
         from ..ops.merkle import _host_linear_hash, _host_permute
         digest = _host_linear_hash([v % gl.P for v in leaf_values])

@@ -102,7 +102,7 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np,
             src = transpose_for_tree(layer, steps[si], steps[si + 1])
             tree = scheme.merkelize(src, src.shape[1])
             fri_trees.append(tree)
-            fri_sources.append(gl.to_u64_np(src))
+            fri_sources.append(src)     # device or host; queried batched
             root = scheme.root(tree)
             roots.append(root)
             transcript.put(root)
@@ -116,23 +116,31 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np,
 
     fri_steps_data = []
     for si in range(len(steps)):
-        queries = []
-        for y in ys:
-            idx = y % (1 << steps[si])
-            if si == 0:
-                proofs = []
-                for tree, src in zip(trees_main_np, sources_main_np):
-                    proofs.append(_open(scheme, tree, src, idx))
-                queries.append(proofs)
-            else:
-                queries.append([_open(scheme, fri_trees[si],
-                                      fri_sources[si], idx)])
+        idxs = [y % (1 << steps[si]) for y in ys]
+        if si == 0:
+            per_tree = [_open_many(scheme, tree, src, idxs)
+                        for tree, src in zip(trees_main_np,
+                                             sources_main_np)]
+            queries = [[pt[qi] for pt in per_tree]
+                       for qi in range(len(idxs))]
+        else:
+            opened = _open_many(scheme, fri_trees[si], fri_sources[si],
+                                idxs)
+            queries = [[opened[qi]] for qi in range(len(idxs))]
         fri_steps_data.append(FriStep(root=roots[si] if si > 0 else None,
                                       queries=queries))
     return fri_steps_data, [[int(v) for v in row] for row in final_np], ys
 
 
-def _open(scheme, tree, source_np, idx: int):
+def _open_many(scheme, tree, source, idxs):
+    """All query openings of one tree, batched: one row gather + one
+    sibling-path gather (a single host pull each) instead of a device
+    round-trip per (query, level) — the remote-tunnel-friendly shape of
+    FRIProve::queryPol (friProve.cpp:153-178)."""
     from .proof import MerkleProofData
-    values, siblings = scheme.open(tree, source_np, idx)
-    return MerkleProofData(values=values, siblings=siblings)
+    batch = getattr(scheme, "open_many", None)
+    if batch is not None:
+        pairs = batch(tree, source, idxs)
+    else:
+        pairs = [scheme.open(tree, source, i) for i in idxs]
+    return [MerkleProofData(values=v, siblings=s) for v, s in pairs]

@@ -657,8 +657,10 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
                         setup.const_ext_np]
         fri_pol = tuple(gl.from_u64_np(c) for c in fri_pol)
     else:
-        sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
-                        gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
+        # keep device arrays: the FRI query phase gathers only the query
+        # rows on-device (one small pull per tree) — pulling the full
+        # extended sections costs GBs over a remote-device tunnel
+        sources_main = [cm1_ext, cm2_ext, cm3_ext, cm4_ext,
                         setup.const_ext_np]
     fri_steps_data, final_pol, _ys = fri_mod.prove(
         transcript, fri_pol, air, trees_main, sources_main, scheme)
