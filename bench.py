@@ -130,14 +130,18 @@ def _device_bench():
     partial()
 
     # --- full Merkle tree build 2^16 x 8 --------------------------------
-    @jax.jit
-    def tree_step(rows):
-        root = merkle._build_levels(rows, m_cols)[-1]
-        return rows.at[:, :4].set(gl.add(rows[:, :4], root)), root
+    # merkelize is host-orchestrated (device jit for the big levels, host
+    # tail above 2^11): each call pulls the cut level, so the chain is
+    # self-forcing; the returned root feeds the next rep's input.
+    feed = jax.jit(lambda rows, root: rows.at[:, :4].set(
+        gl.add(rows[:, :4], jnp.asarray(root))))
 
-    _r, _ = tree_step(y)
-    force(_r)
-    dt_t, _ = timed_chain(lambda s: tree_step(s[0]), (y, None))
+    def tree_step(rows):
+        root = merkle.merkelize(rows, m_cols).root_np()
+        return feed(rows, root)
+
+    yy = tree_step(y)                      # compile + warm
+    dt_t, _ = timed_chain(tree_step, yy)
     out["merkle_tree_2e16_ms"] = round(dt_t * 1e3, 2)
     partial()
 
@@ -152,14 +156,13 @@ def _device_bench():
                                      dtype=np.uint64))
 
     lde = jax.jit(lambda v: ntt.extend_pol(v, p_bits + 1))
-    root_fn = jax.jit(lambda v: merkle._build_levels(v, p_cols)[-1])
 
     w_inv = gl.host_inv(gl.host_w(p_bits + 1))
     shift_inv = gl.host_inv(gl.SHIFT)
 
     def pipeline(v):
         ext = lde(v)                       # (2^21, 16)
-        root = root_fn(ext)
+        root = merkle.merkelize(ext, p_cols).root_np()
         folded = ext[:, :3]                # 3-limb FRI pol stand-in
         bits = p_bits + 1
         while bits > 10:

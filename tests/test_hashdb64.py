@@ -135,3 +135,85 @@ def test_state_manager64_rollback_and_cancel():
     sm.set("c", _key_of(3), 33)
     sm.cancel_batch("c")
     assert "c" not in sm.state
+
+
+# ---------------------------------------------------------------------------
+# production wiring: paged persistence + HashDB facade + service backend
+# ---------------------------------------------------------------------------
+
+def test_paged_store_roundtrip_and_reopen(tmp_path):
+    """Chunks/programs persist through the PagedStore page log and survive
+    a reopen from the same file (reference raw-data pages,
+    src/hashdb64/page/raw_data_page.hpp)."""
+    from xlayer_prover_tpu.state.hashdb64 import Database64
+
+    path = str(tmp_path / "db64")
+    db = Database64(path=path)
+    big = bytes(range(256)) * 40          # > one 4 KB page, spans pages
+    db.write_chunk((1, 2, 3, 4), b"chunk-a")
+    db.write_chunk((5, 6, 7, 8), big)
+    db.set_program((9, 9, 9, 9), b"bytecode")
+    db.write_chunk((1, 2, 3, 4), b"chunk-a2")   # overwrite: latest wins
+    db.flush()
+
+    db2 = Database64(path=path)
+    assert db2.read_chunk((1, 2, 3, 4)) == b"chunk-a2"
+    assert db2.read_chunk((5, 6, 7, 8)) == big
+    assert db2.get_program((9, 9, 9, 9)) == b"bytecode"
+    assert db2.read_chunk((0, 0, 0, 1)) is None
+
+
+def test_hashdb64_facade_virtual_and_consolidate(tmp_path):
+    """HashDB64 set() returns virtual roots; consolidation produces the
+    classic SMT root and persists it across a reopen."""
+    from xlayer_prover_tpu.state.hashdb64 import (Database64, HashDB64,
+                                                  StateManager64)
+
+    path = str(tmp_path / "h64")
+    h = HashDB64(path=path)
+    kvs = {_key_of(i): 1000 + i for i in range(5)}
+    root = (0, 0, 0, 0)
+    for k, v in kvs.items():
+        res = h.set("batch-1", root, k, v)
+        root = res.new_root
+        assert StateManager64.is_virtual_root(root)
+    # reads through the overlay see uncommitted values
+    assert h.get("batch-1", root, _key_of(3)).value == 1003
+    real = h.consolidate("batch-1")
+    assert real == _classic_root(kvs)
+
+    # reopening the same path restores the consolidated tree
+    h2 = HashDB64(path=path)
+    v, _lvl = h2.sm.smt.get(real, _key_of(2))
+    assert v == 1002
+
+
+def test_hashdb_service_with_hashdb64_backend():
+    """The HashDB gRPC service runs against the 64 backend: Set returns a
+    virtual root, ConsolidateState resolves it to the real root."""
+    from xlayer_prover_tpu.services.gen import hashdb_pb2 as pb
+    from xlayer_prover_tpu.services.hashdb_service import (HashDBRemote,
+                                                           HashDBServer,
+                                                           HashDBServiceImpl,
+                                                           _set_fea)
+    from xlayer_prover_tpu.state.hashdb64 import (HashDB64, StateManager64)
+
+    server = HashDBServer(HashDBServiceImpl(HashDB64())).start()
+    try:
+        client = HashDBRemote("127.0.0.1", server.port)
+        res = client.set("b1", (0, 0, 0, 0), _key_of(1), 777)
+        vroot = res.new_root
+        assert StateManager64.is_virtual_root(vroot)
+        cons_rpc = client._channel.unary_unary(
+            "/hashdb.v1.HashDBService/ConsolidateState",
+            request_serializer=pb.ConsolidateStateRequest.SerializeToString,
+            response_deserializer=pb.ConsolidateStateResponse.FromString)
+        creq = pb.ConsolidateStateRequest()
+        _set_fea(creq.virtual_state_root, vroot)
+        cresp = cons_rpc(creq)
+        from xlayer_prover_tpu.services.hashdb_service import _fea
+        real = _fea(cresp.consolidated_state_root)
+        assert real != vroot
+        assert real == _classic_root({_key_of(1): 777})
+    finally:
+        server.stop()

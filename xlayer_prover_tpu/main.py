@@ -150,6 +150,21 @@ def cmd_run_services(cfg: Config) -> int:
     from .state.hashdb import HashDB
 
     threads = []
+    if cfg.run_hashdb_server:
+        from .services.hashdb_service import HashDBServer, HashDBServiceImpl
+        if cfg.hashdb64:
+            import os
+            from .state.hashdb64 import HashDB64
+            os.makedirs(cfg.hashdb_folder, exist_ok=True)
+            backend = HashDB64(path=os.path.join(cfg.hashdb_folder,
+                                                 cfg.hashdb_file_name))
+        else:
+            backend = None
+        server = HashDBServer(HashDBServiceImpl(backend),
+                              cfg.hashdb_server_port).start()
+        zklog.info(f"hashdb service listening on :{server.port} "
+                   f"(backend={'hashdb64' if cfg.hashdb64 else 'classic'})")
+        threads.append(server)
     if cfg.run_executor_server:
         rom, ex_machine = _load_rom(None)
         executor = Executor.__new__(Executor)
@@ -344,7 +359,8 @@ def main(argv=None) -> int:
         return cmd_executor_client(cfg)
     if any(getattr(cfg, f) for f in _SELF_TESTS) or cfg.run_blake_test:
         return cmd_self_tests(cfg)
-    if args.run_services or cfg.run_executor_server or cfg.run_aggregator_client:
+    if args.run_services or cfg.run_executor_server \
+            or cfg.run_aggregator_client or cfg.run_hashdb_server:
         return cmd_run_services(cfg)
     ap.print_help()
     return 1

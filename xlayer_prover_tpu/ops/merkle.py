@@ -50,9 +50,49 @@ def _build_levels(rows, width: int):
     return tuple(levels)
 
 
+# Levels at or below 2^_CUT_BITS rows finish on the host: each device
+# level is a separate XLA graph instance (shapes halve), so a 2^21-leaf
+# tree unrolls 21 permutation graphs — minutes of (remote) compile for
+# microseconds of work in the tiny top.  The host tail is the native C
+# Poseidon (bit-identical; pinned by tests) over one small pull.
+_CUT_BITS = 11
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _build_levels_device(rows, width: int):
+    n = rows.shape[0]
+    assert n & (n - 1) == 0, "height must be a power of two"
+    cur = poseidon.linear_hash(rows, width)
+    levels = [cur]
+    while cur.shape[0] > (1 << _CUT_BITS):
+        cur = poseidon.hash_node(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return tuple(levels)
+
+
+def _host_levels_above(top_np: np.ndarray):
+    """Finish a tree from a (m, 4) digest level on host (native Poseidon)."""
+    from ..native import poseidon_permute_batch
+    levels = []
+    cur = np.ascontiguousarray(top_np, dtype=np.uint64)
+    while cur.shape[0] > 1:
+        states = np.zeros((cur.shape[0] // 2, 12), dtype=np.uint64)
+        states[:, 0:4] = cur[0::2]
+        states[:, 4:8] = cur[1::2]
+        cur = poseidon_permute_batch(states)[:, :4]
+        levels.append(cur)
+    return levels
+
+
 def merkelize(rows, width: int) -> MerkleTree:
-    """rows: (height, width) uint64 array."""
-    return MerkleTree(levels=_build_levels(rows, width), width=width)
+    """rows: (height, width) uint64 array (device).  Big levels build
+    device-side in one jit; the top (<= 2^_CUT_BITS rows) finishes on host
+    from a single small pull — same digests, fraction of the compile."""
+    dev_levels = _build_levels_device(rows, width)
+    top = gl.to_u64_np(dev_levels[-1])
+    host_levels = _host_levels_above(top) if top.shape[0] > 1 else []
+    return MerkleTree(levels=tuple(dev_levels) + tuple(host_levels),
+                      width=width)
 
 
 @jax.jit
@@ -62,13 +102,20 @@ def _absorb_chunk(chunk, digest):
 
 
 @functools.partial(jax.jit, static_argnums=())
-def _levels_from_leaves(leaves):
+def _levels_from_leaves_device(leaves):
     levels = [leaves]
     cur = leaves
-    while cur.shape[0] > 1:
+    while cur.shape[0] > (1 << _CUT_BITS):
         cur = poseidon.hash_node(cur[0::2], cur[1::2])
         levels.append(cur)
     return tuple(levels)
+
+
+def _levels_from_leaves(leaves):
+    dev_levels = _levels_from_leaves_device(leaves)
+    top = gl.to_u64_np(dev_levels[-1])
+    host_levels = _host_levels_above(top) if top.shape[0] > 1 else []
+    return tuple(dev_levels) + tuple(host_levels)
 
 
 def merkelize_np(section_np: np.ndarray, width: int,

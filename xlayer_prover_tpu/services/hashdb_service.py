@@ -140,8 +140,14 @@ class HashDBServiceImpl:
 
     def consolidate_state(self, request, context):
         resp = pb.ConsolidateStateResponse()
+        vroot = _fea(request.virtual_state_root)
+        # hashdb64 backend: resolve a virtual root to its consolidated
+        # real root (state_manager_64 consolidateState); the classic
+        # backend has no virtual roots and echoes.
+        resolve = getattr(self.hashdb, "consolidate_virtual", None)
+        real = resolve(vroot) if resolve is not None else None
         _set_fea(resp.consolidated_state_root,
-                 _fea(request.virtual_state_root))
+                 real if real is not None else vroot)
         resp.result.code = pb.ResultCode.CODE_SUCCESS
         return resp
 

@@ -169,28 +169,144 @@ class TreeChunk:
         return Child(type=INTERMEDIATE, hash=_node_hash(lh, rh))
 
 
+class PagedStore:
+    """Append-only record log over 4 KB PageManager pages: the raw-data
+    page analogue of the reference's chunk persistence
+    (src/hashdb64/page/raw_data_page.hpp).  Header page 0 carries
+    (magic, head, tail, tail_off); data pages are [next:8][payload:4088];
+    records are [kind:1][key:32][len:4][bytes].  Reopen replays the log
+    into the in-memory index (latest record per (kind, key) wins)."""
+
+    MAGIC = 0x34364244583131  # "11XDB64"
+    PAYLOAD = 4096 - 8
+
+    def __init__(self, pm):
+        self.pm = pm
+        self.index: Dict[tuple, bytes] = {}
+        hdr = pm.read_page(0)
+        magic, head, tail, tail_off = struct.unpack("<QQQQ", hdr[:32])
+        if magic == self.MAGIC:
+            self.head, self.tail, self.tail_off = head, tail, tail_off
+            self._replay()
+        else:
+            self.head = self.tail = pm.get_free_page()
+            pm.write_page(self.head, b"\x00" * 8)
+            self.tail_off = 0
+            self._write_header()
+
+    def _write_header(self):
+        self.pm.write_page(0, struct.pack("<QQQQ", self.MAGIC, self.head,
+                                          self.tail, self.tail_off))
+
+    def _replay(self):
+        stream = bytearray()
+        page = self.head
+        while True:
+            data = self.pm.read_page(page)
+            nxt = struct.unpack("<Q", data[:8])[0]
+            if page == self.tail:
+                stream.extend(data[8:8 + self.tail_off])
+                break
+            stream.extend(data[8:])
+            if nxt == 0:
+                break
+            page = nxt
+        off = 0
+        while off + 37 <= len(stream):
+            kind = stream[off]
+            key = bytes(stream[off + 1:off + 33])
+            ln = struct.unpack("<I", stream[off + 33:off + 37])[0]
+            payload = bytes(stream[off + 37:off + 37 + ln])
+            self.index[(kind, key)] = payload
+            off += 37 + ln
+
+    def put(self, kind: int, key32: bytes, data: bytes):
+        self.index[(kind, bytes(key32))] = bytes(data)
+        rec = bytes([kind]) + bytes(key32) + struct.pack("<I", len(data)) \
+            + bytes(data)
+        pos = 0
+        page_data = bytearray(self.pm.read_page(self.tail))
+        while pos < len(rec):
+            space = self.PAYLOAD - self.tail_off
+            if space == 0:
+                nxt = self.pm.get_free_page()
+                page_data[0:8] = struct.pack("<Q", nxt)
+                self.pm.write_page(self.tail, bytes(page_data))
+                self.tail = nxt
+                self.tail_off = 0
+                page_data = bytearray(b"\x00" * 4096)
+                continue
+            take = min(space, len(rec) - pos)
+            page_data[8 + self.tail_off:8 + self.tail_off + take] = \
+                rec[pos:pos + take]
+            self.tail_off += take
+            pos += take
+        self.pm.write_page(self.tail, bytes(page_data))
+        self._write_header()
+
+    def get(self, kind: int, key32: bytes) -> Optional[bytes]:
+        return self.index.get((kind, bytes(key32)))
+
+    def flush(self):
+        self.pm.flush()
+
+
+_K_CHUNK, _K_PROGRAM = 1, 2
+
+
+def _key32(hash4) -> bytes:
+    return struct.pack("<QQQQ", *[int(v) for v in hash4])
+
+
 class Database64:
     """Chunk/program store + versioned KV history (database_64.hpp:65):
     chunk blobs keyed by their top hash; the KeyValueTree keeps
-    (version, key) -> value history for readKV-style access."""
+    (version, key) -> value history for readKV-style access.  With a
+    `path`, chunks/programs persist through a PagedStore and the KV
+    history through a file-backed PageManager — reopening the same path
+    restores the full state (the production hashDB64 mode,
+    config.hashdb64 / hashdb_folder)."""
 
-    def __init__(self, kv_tree: Optional[KeyValueTree] = None):
+    def __init__(self, kv_tree: Optional[KeyValueTree] = None,
+                 path: Optional[str] = None):
+        from .page_manager import PageManager
         self.chunks: Dict[tuple, bytes] = {}
         self.programs: Dict[tuple, bytes] = {}
+        self.store = None
+        if path is not None:
+            self.store = PagedStore(PageManager(path + ".blob"))
+            if kv_tree is None:
+                kv_tree = KeyValueTree(PageManager(path + ".kv"))
         self.kv = kv_tree if kv_tree is not None else KeyValueTree()
         self.version = 0
 
     def write_chunk(self, hash4, data: bytes):
         self.chunks[tuple(int(v) for v in hash4)] = bytes(data)
+        if self.store is not None:
+            self.store.put(_K_CHUNK, _key32(hash4), data)
 
     def read_chunk(self, hash4) -> Optional[bytes]:
-        return self.chunks.get(tuple(int(v) for v in hash4))
+        hit = self.chunks.get(tuple(int(v) for v in hash4))
+        if hit is None and self.store is not None:
+            hit = self.store.get(_K_CHUNK, _key32(hash4))
+            if hit is not None:
+                self.chunks[tuple(int(v) for v in hash4)] = hit
+        return hit
 
     def set_program(self, key4, data: bytes):
         self.programs[tuple(int(v) for v in key4)] = bytes(data)
+        if self.store is not None:
+            self.store.put(_K_PROGRAM, _key32(key4), data)
 
     def get_program(self, key4) -> Optional[bytes]:
-        return self.programs.get(tuple(int(v) for v in key4))
+        hit = self.programs.get(tuple(int(v) for v in key4))
+        if hit is None and self.store is not None:
+            hit = self.store.get(_K_PROGRAM, _key32(key4))
+        return hit
+
+    def flush(self):
+        if self.store is not None:
+            self.store.flush()
 
     def write_kv_version(self, kvs: Dict[int, int]) -> int:
         """Persist a consolidated generation into the KV history tree."""
@@ -402,3 +518,90 @@ class StateManager64:
         st.current_root = new_root
         del self.state[uuid]
         return new_root
+
+
+# ---------------------------------------------------------------------------
+# HashDB facade over the 64 backend
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Smt64SetResult:
+    old_root: tuple
+    new_root: tuple
+    key: tuple
+    mode: str = "virtual"
+    proof_hash_counter: int = 0
+
+
+@dataclasses.dataclass
+class Smt64GetResult:
+    root: tuple
+    key: tuple
+    value: int
+    found: bool
+    proof_hash_counter: int = 0
+
+
+class HashDB64:
+    """HashDBInterface-shaped facade over StateManager64 + Database64 —
+    the reference's hashDB64=true selection (hashdb_factory.cpp:11-31,
+    database_64.hpp): batch writes return VIRTUAL roots instantly,
+    consolidation computes the real chunk-hashed root and persists pages.
+    Drop-in for services.HashDBServiceImpl(hashdb=...) and for the
+    executor's ctx.hashdb surface (set/get/set_program/get_program/
+    consolidate/discard)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.db64 = Database64(path=path)
+        self.sm = StateManager64(self.db64)
+        self.db = self.db64          # LoadDB/LoadProgramDB target
+        # classic-node blobs accepted via LoadDB (opaque to Smt64)
+        self.db64.nodes = {}
+        self.db64.write = lambda key, value: \
+            self.db64.nodes.__setitem__(tuple(int(v) for v in key),
+                                        [int(x) for x in value])
+
+    def set(self, batch_uuid, old_root, key, value) -> Smt64SetResult:
+        uuid = batch_uuid or "default"
+        st = self.sm._batch(uuid)
+        old_root = tuple(int(v) for v in old_root)
+        if st.current_root == st.old_root and not st.writes \
+                and not StateManager64.is_virtual_root(old_root):
+            self.sm.set_old_state_root(uuid, old_root)
+        new_root = self.sm.set(uuid, key, int(value))
+        return Smt64SetResult(old_root=old_root, new_root=new_root,
+                              key=tuple(int(v) for v in key))
+
+    def get(self, batch_uuid, root, key) -> Smt64GetResult:
+        uuid = batch_uuid or "default"
+        root = tuple(int(v) for v in root)
+        if not StateManager64.is_virtual_root(root):
+            st = self.sm._batch(uuid)
+            if not st.writes:
+                self.sm.set_old_state_root(uuid, root)
+        value = self.sm.get(uuid, key)
+        return Smt64GetResult(root=root, key=tuple(int(v) for v in key),
+                              value=value, found=value != 0)
+
+    def set_program(self, batch_uuid, key, data: bytes):
+        self.db64.set_program(key, data)
+
+    def get_program(self, batch_uuid, key) -> Optional[bytes]:
+        return self.db64.get_program(key)
+
+    def consolidate(self, batch_uuid: str) -> tuple:
+        root = self.sm.consolidate_state(batch_uuid)
+        self.db64.flush()
+        return root
+
+    def consolidate_virtual(self, vroot4) -> Optional[tuple]:
+        """Resolve a virtual root to its consolidated real root (the
+        ConsolidateState RPC): find the batch publishing that root."""
+        vroot = tuple(int(v) for v in vroot4)
+        for uuid, st in list(self.sm.state.items()):
+            if st.current_root == vroot:
+                return self.consolidate(uuid)
+        return None
+
+    def discard(self, batch_uuid: str):
+        self.sm.cancel_batch(batch_uuid)
