@@ -155,30 +155,32 @@ def _device_bench():
     cm = gl.from_u64_np(rng.integers(0, gl.P, size=(pn, p_cols),
                                      dtype=np.uint64))
 
-    lde = jax.jit(lambda v: ntt.extend_pol(v, p_bits + 1))
+    from xlayer_prover_tpu.fields import gl3
 
-    w_inv = gl.host_inv(gl.host_w(p_bits + 1))
-    shift_inv = gl.host_inv(gl.SHIFT)
+    lde = jax.jit(lambda v: ntt.extend_pol(v, p_bits + 1))
+    sx = gl3.from_ints(7, 0, 0)
 
     def pipeline(v):
         ext = lde(v)                       # (2^21, 16)
         root = merkle.merkelize(ext, p_cols).root_np()
-        folded = ext[:, :3]                # 3-limb FRI pol stand-in
+        folded = tuple(ext[:, k] for k in range(3))  # FRI pol stand-in
         bits = p_bits + 1
+        shift_inv = gl.host_inv(gl.SHIFT)
         while bits > 10:
             nxt = max(bits - 4, 10)
-            folded = fri.fold(folded, [7, 0, 0], shift_inv, w_inv,
-                              bits, nxt)
+            w_inv = gl.host_inv(gl.host_w(bits))
+            folded = fri.fold(folded, sx, shift_inv, w_inv, bits, nxt)
+            for _ in range(bits - nxt):
+                shift_inv = (shift_inv * shift_inv) % gl.P
             bits = nxt
         return root, folded
 
     root, folded = pipeline(cm)
-    force(root), force(folded)             # compile + warm
+    force(folded[0])                       # compile + warm (root: host np)
     cm2 = gl.add(cm, gl.full(cm.shape, 3))
     t0 = time.perf_counter()
     root, folded = pipeline(cm2)
-    force(root)
-    force(folded)
+    force(folded[0])
     dt_p = max(time.perf_counter() - t0 - 2 * rtt, 1e-9)
     out["pipeline_2e20x16_ms"] = round(dt_p * 1e3, 1)
     # speed of light: LDE touches 2^20*16 + 2^21*16 elems (r+w through
@@ -213,8 +215,14 @@ def _run_child():
         elif line.startswith("CHILD_PARTIAL "):
             last_partial = json.loads(line[len("CHILD_PARTIAL "):])
     result = final or last_partial
-    if result is None:
+    if final is None:
+        # the child died (crash or timeout) after its last partial: never
+        # swallow the traceback — a silent partial reads as "wedged"
+        # when the truth may be a bug (this hid a fold-call crash for a
+        # whole round)
         sys.stderr.write(res.stderr[-2000:] + "\n")
+        if result is not None:
+            result["child_died"] = True
     return result
 
 
@@ -343,6 +351,8 @@ def main():
         # The pipeline section (the number that matters most) never
         # reported — say so instead of silently dropping it.
         line["pipeline_wedged"] = True
+    if dev.get("child_died"):
+        line["child_died"] = True
     for k in ("ntt_ms", "poseidon_Mhashes_per_s", "poseidon_vs_sol",
               "merkle_tree_2e16_ms", "pipeline_2e20x16_ms",
               "pipeline_vs_sol", "rtt_ms"):

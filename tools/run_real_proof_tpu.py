@@ -30,6 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if "--cpu" in sys.argv:
+    # the environment pins JAX_PLATFORMS=axon; env vars can't override it,
+    # only the config call before first device use can (see .claude/skills)
+    jax.config.update("jax_platforms", "cpu")
+
 REF_ROM = "/root/reference/src/main_sm/fork_9/scripts/rom.json"
 REF_SROM = "/root/reference/config/scripts/storage_sm_rom.json"
 
@@ -41,6 +46,8 @@ def main():
     ap.add_argument("--out", default="PROOF_TPU.json")
     ap.add_argument("--chains", action="store_true",
                     help="bind keccak/sha gate chains (needs n_bits >= 18)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (host proof path)")
     args = ap.parse_args()
 
     from xlayer_prover_tpu.executor.input import BatchInput
@@ -65,6 +72,9 @@ def main():
                          storage_rom=storage_rom)
     if args.chains:
         assert args.n_bits >= 18, "gate chains need a 2^18 slot"
+    # chains auto-bind at n_bits >= 18 (zkevm_air.build defaults)
+    chains_bound = engine.executor.layout.keccak is not None \
+        and engine.executor.layout.sha is not None
     stages["build_air_s"] = round(time.perf_counter() - t0, 2)
     print(f"AIR built in {stages['build_air_s']}s: cm1={engine.air.cm1_width}"
           f" cm2={engine.air.cm2_width} cm3={engine.air.cm3_width}"
@@ -99,7 +109,7 @@ def main():
         "device": str(jax.devices()[0]),
         "vector": args.vector,
         "n_bits": args.n_bits,
-        "chains_bound": bool(args.chains),
+        "chains_bound": bool(chains_bound),
         "widths": {"cm1": engine.air.cm1_width, "cm2": engine.air.cm2_width,
                    "cm3": engine.air.cm3_width, "cm4": engine.air.cm4_width,
                    "const": engine.air.const_width},
