@@ -13,6 +13,9 @@ power table, the Horner evaluation is nX-1 vector muls.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,34 +23,45 @@ from ..fields import gl, gl3
 from ..ops import merkle, ntt
 
 
-def fold(values, special_x, shift_inv: int, w_inv: int, bits: int, bits_next: int):
-    """One FRI fold: (2^bits,)-triple -> (2^bits_next,)-triple.
-
-    values: gl3 triple of (2^bits,) arrays (coset evaluations).
-    special_x: gl3 scalar triple.  shift_inv/w_inv: python ints for the
-    CURRENT domain (inverse coset shift, inverse 2^bits root).
-    """
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _fold_jit(cols, sx, shift_inv: int, w_inv: int, bits: int,
+              bits_next: int):
     n = 1 << bits
     n_out = 1 << bits_next
     n_x = n // n_out
     # group g holds indices {g + j*n_out}: element [j, g] after reshape
-    cols = gl3.stack_cols(values)                     # (n, 3)
     grouped = cols.reshape(n_x, n_out * 3)
     coeffs = ntt.intt(grouped, bits - bits_next).reshape(n_x, n_out, 3)
-    # un-shift: coeff i of group g scaled by (shift_inv * w_inv^g)^i
-    #         = shift_inv^i * (w_inv^i)^g
-    P = gl.P
-    rows = [gl.powers_device(pow(w_inv, i, P), n_out, start=pow(shift_inv, i, P))
-            for i in range(n_x)]
+    # un-shift: coeff i of group g scaled by (shift_inv * w_inv^g)^i —
+    # row i is base^i with base[g] = shift_inv * w_inv^g, built by n_x
+    # cumulative vector muls
+    base = gl.mul_const(gl.powers_device(w_inv, n_out), shift_inv)
+    rows = [jnp.ones((n_out,), dtype=gl.DTYPE)]
+    for _ in range(n_x - 1):
+        rows.append(gl.mul(rows[-1], base))
     scale = jnp.stack(rows, axis=0)                   # (n_x, n_out)
     coeffs3 = tuple(gl.mul(coeffs[..., k], scale) for k in range(3))
     # Horner at special_x over i (axis 0)
-    sx = tuple(c.reshape(()) for c in special_x)
     acc = tuple(c[n_x - 1] for c in coeffs3)
     for i in range(n_x - 2, -1, -1):
         acc = gl3.mul(acc, sx)
         acc = gl3.add(acc, tuple(c[i] for c in coeffs3))
-    return acc  # triple of (n_out,) arrays
+    return acc
+
+
+def fold(values, special_x, shift_inv: int, w_inv: int, bits: int,
+         bits_next: int):
+    """One FRI fold: (2^bits,)-triple -> (2^bits_next,)-triple.
+
+    values: gl3 triple of (2^bits,) arrays (coset evaluations).
+    special_x: gl3 scalar triple.  shift_inv/w_inv: python ints for the
+    CURRENT domain (inverse coset shift, inverse 2^bits root).  Runs as
+    ONE jitted graph per geometry — eager op-by-op folding costs a
+    dispatch round-trip per primitive on remote devices.
+    """
+    cols = gl3.stack_cols(values)                     # (n, 3)
+    sx = tuple(jnp.asarray(c).reshape(()) for c in special_x)
+    return _fold_jit(cols, sx, int(shift_inv), int(w_inv), bits, bits_next)
 
 
 def transpose_for_tree(values, bits: int, bits_next: int):
