@@ -130,18 +130,17 @@ def _device_bench():
     partial()
 
     # --- full Merkle tree build 2^16 x 8 --------------------------------
-    # merkelize is host-orchestrated (device jit for the big levels, host
-    # tail above 2^11): each call pulls the cut level, so the chain is
-    # self-forcing; the returned root feeds the next rep's input.
-    feed = jax.jit(lambda rows, root: rows.at[:, :4].set(
-        gl.add(rows[:, :4], jnp.asarray(root))))
-
+    # a 2^16 tree builds fully on device in one jit (merkle._build_levels;
+    # merkelize uses the same graph at this size), so the timed chain
+    # feeds the device root back without a host pull per rep
+    @jax.jit
     def tree_step(rows):
-        root = merkle.merkelize(rows, m_cols).root_np()
-        return feed(rows, root)
+        root = merkle._build_levels(rows, m_cols)[-1]
+        return rows.at[:, :4].set(gl.add(rows[:, :4], root)), root
 
-    yy = tree_step(y)                      # compile + warm
-    dt_t, _ = timed_chain(tree_step, yy)
+    _r, _ = tree_step(y)
+    force(_r)
+    dt_t, _ = timed_chain(lambda s: tree_step(s[0]), (y, None))
     out["merkle_tree_2e16_ms"] = round(dt_t * 1e3, 2)
     partial()
 

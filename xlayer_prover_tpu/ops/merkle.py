@@ -84,10 +84,19 @@ def _host_levels_above(top_np: np.ndarray):
     return levels
 
 
+# Trees up to this many leaves build fully on device in one jit (the
+# unrolled level count stays compile-friendly); bigger trees switch to
+# the two-tier build so the graph never exceeds ~leaf+10 level instances.
+_FULL_DEVICE_BITS = 16
+
+
 def merkelize(rows, width: int) -> MerkleTree:
-    """rows: (height, width) uint64 array (device).  Big levels build
-    device-side in one jit; the top (<= 2^_CUT_BITS rows) finishes on host
-    from a single small pull — same digests, fraction of the compile."""
+    """rows: (height, width) uint64 array (device).  Small trees build
+    fully on device in one jit; for big trees the top (<= 2^_CUT_BITS
+    rows) finishes on host from a single small pull — same digests,
+    fraction of the compile."""
+    if rows.shape[0] <= (1 << _FULL_DEVICE_BITS):
+        return MerkleTree(levels=_build_levels(rows, width), width=width)
     dev_levels = _build_levels_device(rows, width)
     top = gl.to_u64_np(dev_levels[-1])
     host_levels = _host_levels_above(top) if top.shape[0] > 1 else []
@@ -111,7 +120,19 @@ def _levels_from_leaves_device(leaves):
     return tuple(levels)
 
 
+@functools.partial(jax.jit, static_argnums=())
+def _levels_from_leaves_full(leaves):
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = poseidon.hash_node(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return tuple(levels)
+
+
 def _levels_from_leaves(leaves):
+    if leaves.shape[0] <= (1 << _FULL_DEVICE_BITS):
+        return _levels_from_leaves_full(leaves)
     dev_levels = _levels_from_leaves_device(leaves)
     top = gl.to_u64_np(dev_levels[-1])
     host_levels = _host_levels_above(top) if top.shape[0] > 1 else []
