@@ -940,15 +940,13 @@ class MainExecutor:
         Kin0 = C limbs (slot), Kin1 = A0..A5 (address), B0,B1 (leaf type),
         capacity = Poseidon(Kin0).  Permutation inputs are recorded as
         PoseidonG SM requests when `required` is given."""
-        from ..native import poseidon_permute
-        kin0 = [int(v) for v in regs.C] + [0, 0, 0, 0]
-        cap = poseidon_permute(kin0)[:4]
-        kin1 = [int(v) for v in regs.A[0:6]] + [int(regs.B[0]),
-                                                int(regs.B[1])] + list(cap)
+        from ..native import poseidon_storage_key
+        kin0, kin1, key = poseidon_storage_key(regs.C, regs.A[0:6],
+                                               regs.B[0:2])
         if required is not None:
-            required.poseidon.append(list(kin0))
-            required.poseidon.append(list(kin1))
-        return tuple(poseidon_permute(kin1)[:4])
+            required.poseidon.append(kin0)
+            required.poseidon.append(kin1)
+        return key
 
     @staticmethod
     def _root_quad(sr8):

@@ -37,6 +37,9 @@ def _load():
     lib.poseidon_linear_hash_bytes.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
     lib.poseidon_linear_hash_bytes.restype = ctypes.c_int
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.poseidon_storage_key.argtypes = [u64p, u64p, u64p, u64p, u64p, u64p]
+    lib.poseidon_storage_key.restype = ctypes.c_int
 
     from ..ops import poseidon_constants as pc
     consts, mds, _ = pc.get_params()
@@ -78,6 +81,26 @@ def poseidon_permute(state12):
 
 
 _LH_BUF = (ctypes.c_uint64 * 4)()
+_SK_BUFS = tuple((ctypes.c_uint64 * n)() for n in (8, 6, 2, 12, 12, 4))
+
+
+def poseidon_storage_key(c8, a6, b2):
+    """SMT storage key from registers (cap = H(C||0), key = H(A,B||cap)):
+    returns (kin0[12], kin1[12], key4).  One native call; python fallback
+    chains two permutes."""
+    lib = _load()
+    if lib is None:
+        kin0 = [int(v) for v in c8] + [0, 0, 0, 0]
+        cap = poseidon_permute(kin0)[:4]
+        kin1 = [int(v) for v in a6] + [int(b2[0]), int(b2[1])] + cap
+        return kin0, kin1, tuple(poseidon_permute(kin1)[:4])
+    bc, ba, bb, bk0, bk1, bkey = _SK_BUFS
+    bc[:] = [int(v) for v in c8]
+    ba[:] = [int(v) for v in a6]
+    bb[:] = [int(v) for v in b2]
+    assert lib.poseidon_storage_key(bc, ba, bb, bk0, bk1, bkey) == 0
+    return list(bk0), list(bk1), (int(bkey[0]), int(bkey[1]),
+                                  int(bkey[2]), int(bkey[3]))
 
 
 def poseidon_linear_hash_bytes(data: bytes):

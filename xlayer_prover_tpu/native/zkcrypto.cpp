@@ -231,6 +231,30 @@ int poseidon_permute_batch(uint64_t *st, uint64_t n) {
   return 0;
 }
 
+// SMT storage-key derivation (main_executor.cpp:1080-1115 / key_utils):
+// cap = Poseidon(C8 || 0^4)[0:4]; key = Poseidon(A0..A5,B0,B1 || cap)[0:4].
+// One crossing instead of two permute round-trips; kin0/kin1 are written
+// back so callers can record the PoseidonG SM requests.
+int poseidon_storage_key(const uint64_t *c8, const uint64_t *a6,
+                         const uint64_t *b2, uint64_t *kin0_out12,
+                         uint64_t *kin1_out12, uint64_t *key4) {
+  if (!poseidon_ready) return -1;
+  uint64_t st[12];
+  for (int i = 0; i < 8; i++) st[i] = c8[i];
+  for (int i = 8; i < 12; i++) st[i] = 0;
+  for (int i = 0; i < 12; i++) kin0_out12[i] = st[i];
+  poseidon_permute(st);
+  uint64_t st2[12];
+  for (int i = 0; i < 6; i++) st2[i] = a6[i];
+  st2[6] = b2[0];
+  st2[7] = b2[1];
+  for (int i = 0; i < 4; i++) st2[8 + i] = st[i];
+  for (int i = 0; i < 12; i++) kin1_out12[i] = st2[i];
+  poseidon_permute(st2);
+  for (int i = 0; i < 4; i++) key4[i] = st2[i];
+  return 0;
+}
+
 // Poseidon linear hash of a byte stream: append 0x01, zero-pad to 56*N
 // bytes, OR 0x80 into the last byte, pack 7 bytes/element little-endian,
 // absorb 8-element chunks with the previous digest as capacity (the
