@@ -11,7 +11,9 @@ edited set and recycles the originals, giving root-versioned state history
 
 from __future__ import annotations
 
+import heapq
 import os
+import struct
 import threading
 from typing import Dict, List, Optional
 
@@ -26,17 +28,48 @@ class PageManager:
             size = os.path.getsize(path)
             self._file = open(path, "r+b")
             self.n_pages = max(size // PAGE_SIZE, initial_pages)
+            # Allocation watermark persisted in a sidecar: pages below it
+            # may hold live data from a previous open and must not be
+            # handed out again.  A legacy file without a sidecar is treated
+            # conservatively: every existing page is considered used.
+            self.watermark = self._read_watermark(
+                default=max(size // PAGE_SIZE, 1))
         elif path:
             self._file = open(path, "w+b")
             self.n_pages = initial_pages
             self._file.truncate(self.n_pages * PAGE_SIZE)
+            self.watermark = 1
+            self._save_watermark()
         else:
             self._file = None
             self.n_pages = initial_pages
             self._mem: Dict[int, bytearray] = {}
-        # page 0 is the header and never freed
-        self.free_list: List[int] = list(range(1, self.n_pages))
+            self.watermark = 1
+        # page 0 is the header and never freed; min-heap so allocation is
+        # lowest-first and the watermark stays tight
+        self.free_list: List[int] = list(range(self.watermark, self.n_pages))
+        heapq.heapify(self.free_list)
         self.edited: Dict[int, int] = {}   # original -> shadow (open gen)
+
+    # -- allocation-watermark persistence ---------------------------------
+    def _wm_path(self) -> str:
+        return self.path + ".wm"
+
+    def _read_watermark(self, default: int) -> int:
+        try:
+            with open(self._wm_path(), "rb") as f:
+                (wm,) = struct.unpack("<Q", f.read(8))
+            return max(1, wm)
+        except (OSError, struct.error):
+            return default
+
+    def _save_watermark(self):
+        if not self.path:
+            return
+        with open(self._wm_path(), "wb") as f:
+            f.write(struct.pack("<Q", self.watermark))
+            f.flush()
+            os.fsync(f.fileno())
 
     # -- raw page IO ----------------------------------------------------
     def read_page(self, idx: int) -> bytes:
@@ -68,20 +101,25 @@ class PageManager:
         with self._lock:
             if not self.free_list:
                 self._grow()
-            return self.free_list.pop()
+            idx = heapq.heappop(self.free_list)
+            if idx >= self.watermark:
+                self.watermark = idx + 1
+                self._save_watermark()
+            return idx
 
     def release_page(self, idx: int):
         with self._lock:
             self._check(idx)
             assert idx != 0, "cannot free the header page"
-            self.free_list.append(idx)
+            heapq.heappush(self.free_list, idx)
 
     def _grow(self):
         old = self.n_pages
         self.n_pages = old * 2
         if self._file is not None:
             self._file.truncate(self.n_pages * PAGE_SIZE)
-        self.free_list.extend(range(old, self.n_pages))
+        for idx in range(old, self.n_pages):
+            heapq.heappush(self.free_list, idx)
 
     @property
     def n_free(self):
