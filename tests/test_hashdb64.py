@@ -217,3 +217,50 @@ def test_hashdb_service_with_hashdb64_backend():
         assert real == _classic_root({_key_of(1): 777})
     finally:
         server.stop()
+
+
+def test_consolidate_state_unknown_virtual_root_is_not_success():
+    """ConsolidateState must NOT echo an unresolvable virtual root back as
+    a consolidated root (reference returns an error code instead)."""
+    from xlayer_prover_tpu.services.gen import hashdb_pb2 as pb
+    from xlayer_prover_tpu.services.hashdb_service import (HashDBServer,
+                                                           HashDBServiceImpl,
+                                                           _set_fea)
+    from xlayer_prover_tpu.state.hashdb64 import HashDB64, VIRTUAL_TAG
+
+    server = HashDBServer(HashDBServiceImpl(HashDB64())).start()
+    try:
+        import grpc
+        channel = grpc.insecure_channel(f"127.0.0.1:{server.port}")
+        cons_rpc = channel.unary_unary(
+            "/hashdb.v1.HashDBService/ConsolidateState",
+            request_serializer=pb.ConsolidateStateRequest.SerializeToString,
+            response_deserializer=pb.ConsolidateStateResponse.FromString)
+        creq = pb.ConsolidateStateRequest()
+        _set_fea(creq.virtual_state_root, (99, 99, 0, VIRTUAL_TAG))
+        cresp = cons_rpc(creq)
+        assert cresp.result.code == pb.ResultCode.CODE_DB_KEY_NOT_FOUND
+    finally:
+        server.stop()
+
+
+def test_hashdb64_get_respects_requested_root():
+    """A Get against an older real root must not observe the batch
+    overlay's later writes; an unknown virtual root errors."""
+    from xlayer_prover_tpu.state.hashdb64 import HashDB64, VIRTUAL_TAG
+
+    h = HashDB64()
+    # consolidate an initial state so there is a real historical root
+    res = h.set("b0", (0, 0, 0, 0), _key_of(1), 111)
+    root0 = h.consolidate("b0")
+    # new batch writes over key 1
+    res = h.set("b1", root0, _key_of(1), 222)
+    vroot = res.new_root
+    # read at the CURRENT virtual root sees the overlay
+    assert h.get("b1", vroot, _key_of(1)).value == 222
+    # read at the OLD real root sees the pre-batch value
+    assert h.get("b1", root0, _key_of(1)).value == 111
+    # an unknown virtual root is an error, not a silent latest-read
+    import pytest
+    with pytest.raises(KeyError):
+        h.get("b1", (123, 456, 0, VIRTUAL_TAG), _key_of(1))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 
 import numpy as np
 
@@ -65,7 +66,20 @@ def keccak256(data: bytes) -> bytes:
     return bytes(out)
 
 
-_PERM_BUF = (ctypes.c_uint64 * 12)()
+# scratch ctypes buffers are thread-local: the executor gRPC server runs
+# with max_workers=8, so concurrent batches must not share scratch space
+_TLS = threading.local()
+
+
+def _tls_bufs():
+    bufs = getattr(_TLS, "bufs", None)
+    if bufs is None:
+        bufs = _TLS.bufs = {
+            "perm": (ctypes.c_uint64 * 12)(),
+            "lh": (ctypes.c_uint64 * 4)(),
+            "sk": tuple((ctypes.c_uint64 * n)() for n in (8, 6, 2, 12, 12, 4)),
+        }
+    return bufs
 
 
 def poseidon_permute(state12):
@@ -74,14 +88,10 @@ def poseidon_permute(state12):
     if lib is None:
         from ..ops.merkle import _host_permute
         return _host_permute(list(state12))
-    buf = _PERM_BUF
+    buf = _tls_bufs()["perm"]
     buf[:] = [int(v) for v in state12]
     assert lib.poseidon_permute(buf) == 0
     return list(buf)
-
-
-_LH_BUF = (ctypes.c_uint64 * 4)()
-_SK_BUFS = tuple((ctypes.c_uint64 * n)() for n in (8, 6, 2, 12, 12, 4))
 
 
 def poseidon_storage_key(c8, a6, b2):
@@ -94,7 +104,7 @@ def poseidon_storage_key(c8, a6, b2):
         cap = poseidon_permute(kin0)[:4]
         kin1 = [int(v) for v in a6] + [int(b2[0]), int(b2[1])] + cap
         return kin0, kin1, tuple(poseidon_permute(kin1)[:4])
-    bc, ba, bb, bk0, bk1, bkey = _SK_BUFS
+    bc, ba, bb, bk0, bk1, bkey = _tls_bufs()["sk"]
     bc[:] = [int(v) for v in c8]
     ba[:] = [int(v) for v in a6]
     bb[:] = [int(v) for v in b2]
@@ -108,7 +118,7 @@ def poseidon_linear_hash_bytes(data: bytes):
     (native one-call path; python fallback chunks through the permute)."""
     lib = _load()
     if lib is not None:
-        buf = _LH_BUF
+        buf = _tls_bufs()["lh"]
         assert lib.poseidon_linear_hash_bytes(data, len(data), buf) == 0
         return (int(buf[0]), int(buf[1]), int(buf[2]), int(buf[3]))
     padded = bytearray(data)

@@ -138,7 +138,9 @@ void poseidon_init(const uint64_t *c, const uint64_t *m, int rf, int rp) {
     for (int j = 0; j < 12; j++) {
       POSEIDON_M[i][j] = m[i * 12 + j];
       POSEIDON_MT[j][i] = m[i * 12 + j];
-      if (POSEIDON_M[i][j] >= (1ULL << 32)) poseidon_m_small = 0;
+      // split-32 accumulation needs 12 * m * (2^32-1) < 2^64 per lane,
+      // i.e. m < 2^60/12; bound at 2^27 with wide margin (real entries <= 41)
+      if (POSEIDON_M[i][j] >= (1ULL << 27)) poseidon_m_small = 0;
     }
   POSEIDON_RF = rf;
   POSEIDON_RP = rp;

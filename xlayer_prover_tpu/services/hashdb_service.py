@@ -38,6 +38,21 @@ def _scalar_bytes(v: int) -> bytes:
     return int(v).to_bytes(32, "big")
 
 
+def _hexkey(quad) -> str:
+    """Node-hash quad -> 64-hex key (the LoadDB/input.db key convention:
+    limb j occupies bits [64j, 64j+64))."""
+    v = 0
+    for j, limb in enumerate(quad):
+        v |= int(limb) << (64 * j)
+    return f"{v:064x}"
+
+
+def _hexnode(limbs) -> str:
+    """Node limbs -> concatenated 16-hex-char limbs (the reference's DB
+    string encoding of a 12-element node)."""
+    return "".join(f"{int(x):016x}" for x in limbs)
+
+
 class HashDBServiceImpl:
     def __init__(self, hashdb: Optional[HashDB] = None):
         self.hashdb = hashdb or HashDB()
@@ -145,10 +160,98 @@ class HashDBServiceImpl:
         # real root (state_manager_64 consolidateState); the classic
         # backend has no virtual roots and echoes.
         resolve = getattr(self.hashdb, "consolidate_virtual", None)
-        real = resolve(vroot) if resolve is not None else None
-        _set_fea(resp.consolidated_state_root,
-                 real if real is not None else vroot)
+        if resolve is None:
+            # classic backend has no virtual roots: echo is the contract
+            _set_fea(resp.consolidated_state_root, vroot)
+            resp.result.code = pb.ResultCode.CODE_SUCCESS
+            return resp
+        real = resolve(vroot)
+        if real is None:
+            # unknown / already-consolidated virtual root: do NOT launder
+            # the virtual root back as a real one
+            _set_fea(resp.consolidated_state_root, (0, 0, 0, 0))
+            resp.result.code = pb.ResultCode.CODE_DB_KEY_NOT_FOUND
+            return resp
+        _set_fea(resp.consolidated_state_root, real)
         resp.result.code = pb.ResultCode.CODE_SUCCESS
+        return resp
+
+    def get_latest_state_root(self, request, context):
+        resp = pb.GetLatestStateRootResponse()
+        root = getattr(self.hashdb, "get_latest_state_root",
+                       lambda: (0, 0, 0, 0))()
+        _set_fea(resp.latest_root, root)
+        resp.result.code = pb.ResultCode.CODE_SUCCESS
+        return resp
+
+    def start_block(self, request, context):
+        fn = getattr(self.hashdb, "start_block", None)
+        if fn is not None:
+            fn(request.batch_uuid, request.old_state_root,
+               request.persistence)
+        return empty_pb2.Empty()
+
+    def finish_block(self, request, context):
+        fn = getattr(self.hashdb, "finish_block", None)
+        if fn is not None:
+            fn(request.batch_uuid, request.new_state_root,
+               request.persistence)
+        return empty_pb2.Empty()
+
+    def finish_tx(self, request, context):
+        fn = getattr(self.hashdb, "finish_tx", None)
+        if fn is not None:
+            fn(request.batch_uuid, request.new_state_root,
+               request.persistence)
+        return empty_pb2.Empty()
+
+    def get_flush_data(self, request, context):
+        resp = pb.GetFlushDataResponse()
+        try:
+            stored, nodes, programs = self.hashdb.get_flush_data(
+                request.flush_id)
+            resp.stored_flush_id = stored
+            for k, v in nodes.items():
+                resp.nodes[_hexkey(k)] = _hexnode(v)
+            for k, v in programs.items():
+                resp.program[_hexkey(k)] = bytes(v).hex()
+            resp.result.code = pb.ResultCode.CODE_SUCCESS
+        except Exception as e:  # noqa: BLE001
+            zklog.error(f"hashdb.getFlushData: {e}")
+            resp.result.code = pb.ResultCode.CODE_INTERNAL_ERROR
+        return resp
+
+    def read_tree(self, request, context):
+        resp = pb.ReadTreeResponse()
+        try:
+            keys = [_fea(k) for k in request.keys]
+            key_values, hash_nodes = self.hashdb.read_tree(
+                _fea(request.state_root), keys)
+            for (key, value) in key_values:
+                kv = resp.key_value.add()
+                _set_fea(kv.key, key)
+                kv.value = f"{value:x}"
+            for h, node12 in hash_nodes.items():
+                hv = resp.hash_value.add()
+                _set_fea(hv.hash, h)
+                (hv.value.fe0, hv.value.fe1, hv.value.fe2, hv.value.fe3,
+                 hv.value.fe4, hv.value.fe5, hv.value.fe6, hv.value.fe7,
+                 hv.value.fe8, hv.value.fe9, hv.value.fe10,
+                 hv.value.fe11) = [int(v) for v in node12]
+            resp.result.code = pb.ResultCode.CODE_SUCCESS
+        except Exception as e:  # noqa: BLE001
+            zklog.error(f"hashdb.readTree: {e}")
+            resp.result.code = pb.ResultCode.CODE_INTERNAL_ERROR
+        return resp
+
+    def reset_db(self, request, context):
+        resp = pb.ResetDBResponse()
+        reset = getattr(self.hashdb, "reset", None)
+        if reset is None:
+            resp.result.code = pb.ResultCode.CODE_INTERNAL_ERROR
+        else:
+            reset()
+            resp.result.code = pb.ResultCode.CODE_SUCCESS
         return resp
 
     def purge(self, request, context):
@@ -197,6 +300,22 @@ class HashDBServer:
             "Purge": h(self.impl.purge, pb.PurgeRequest, pb.PurgeResponse),
             "CancelBatch": h(self.impl.cancel_batch, pb.CancelBatchRequest,
                              pb.CancelBatchResponse),
+            "GetLatestStateRoot": h(self.impl.get_latest_state_root,
+                                    empty_pb2.Empty,
+                                    pb.GetLatestStateRootResponse),
+            "StartBlock": h(self.impl.start_block, pb.StartBlockRequest,
+                            empty_pb2.Empty),
+            "FinishBlock": h(self.impl.finish_block, pb.FinishBlockRequest,
+                             empty_pb2.Empty),
+            "FinishTx": h(self.impl.finish_tx, pb.FinishTxRequest,
+                          empty_pb2.Empty),
+            "GetFlushData": h(self.impl.get_flush_data,
+                              pb.GetFlushDataRequest,
+                              pb.GetFlushDataResponse),
+            "ReadTree": h(self.impl.read_tree, pb.ReadTreeRequest,
+                          pb.ReadTreeResponse),
+            "ResetDB": h(self.impl.reset_db, empty_pb2.Empty,
+                         pb.ResetDBResponse),
         }
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, handlers),))

@@ -575,11 +575,25 @@ class HashDB64:
     def get(self, batch_uuid, root, key) -> Smt64GetResult:
         uuid = batch_uuid or "default"
         root = tuple(int(v) for v in root)
-        if not StateManager64.is_virtual_root(root):
-            st = self.sm._batch(uuid)
-            if not st.writes:
-                self.sm.set_old_state_root(uuid, root)
-        value = self.sm.get(uuid, key)
+        st = self.sm._batch(uuid)
+        if StateManager64.is_virtual_root(root):
+            # reads through the overlay are only valid at the batch's
+            # current virtual root — an older/unrelated virtual root would
+            # silently observe later writes (reference binds reads to the
+            # version of the given root, state_manager_64.hpp)
+            if root != st.current_root:
+                raise KeyError(f"unknown virtual root for batch {uuid}")
+            value = self.sm.get(uuid, key)
+        elif not st.writes:
+            self.sm.set_old_state_root(uuid, root)
+            value = self.sm.get(uuid, key)
+        elif root == st.current_root:
+            value = self.sm.get(uuid, key)
+        else:
+            # a real root that predates (or is unrelated to) the batch
+            # overlay: resolve directly through the consolidated tree at
+            # that root, not through the overlay's later writes
+            value, _level = self.sm.smt.get(root, key)
         return Smt64GetResult(root=root, key=tuple(int(v) for v in key),
                               value=value, found=value != 0)
 
@@ -605,3 +619,35 @@ class HashDB64:
 
     def discard(self, batch_uuid: str):
         self.sm.cancel_batch(batch_uuid)
+
+    # -- HashDBInterface extras (hashdb_interface.hpp:21-40) -------------
+    def get_latest_state_root(self) -> tuple:
+        return self.sm.last_consolidated
+
+    def start_block(self, batch_uuid: str, old_state_root, persistence=0):
+        self.sm._batch(batch_uuid or "default")
+
+    def finish_block(self, batch_uuid: str, new_state_root, persistence=0):
+        self.sm.finish_block(batch_uuid or "default")
+
+    def finish_tx(self, batch_uuid: str, new_state_root, persistence=0):
+        self.sm.finish_tx(batch_uuid or "default")
+
+    def get_flush_data(self, flush_id: int):
+        return 0, {}, {}
+
+    def read_tree(self, state_root, keys):
+        root = tuple(int(v) for v in state_root)
+        key_values = []
+        for key in keys:
+            v, _level = self.sm.smt.get(root, key)
+            key_values.append((tuple(int(x) for x in key), v))
+        return key_values, {}
+
+    def clear_cache(self):
+        pass
+
+    def reset(self):
+        self.sm.state.clear()
+        self.sm.last_consolidated = (0, 0, 0, 0)
+        self.db64.nodes.clear()
