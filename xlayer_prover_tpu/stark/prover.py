@@ -227,12 +227,19 @@ def _use_jit_pipelines() -> bool:
 
 
 def get_air_jits(air):
-    """Returns dict with 'quotient' and 'round5' jitted functions for `air`.
+    """Returns dict with the per-round jitted pipelines for `air`:
 
+    round2(const_n, cm1_n, ch8x3, publics, x_n, l1_n) -> (cm2_n, bad)
+    round3(const_n, cm1_n, cm2_n, ch8x3, publics, x_n, l1_n) -> cm3_n
     quotient(const_ext, cm1e, cm2e, cm3e, ch8x3, publics, x_ext, l1_ext,
              zi_ext) -> cm4_ext
     round5(sections..., cm4e, ch8x3, publics, x_ext, l1_ext) ->
              (evals (nEv,3), fri_pol triple)
+
+    Each round is ONE traced graph: on a remote-tunnel device, eager
+    expression evaluation costs a dispatch round-trip per primitive
+    (~0.4 s each — measured 566 s for round 2 at 2^16), while one jitted
+    call is a single dispatch.
     """
     key = id(air)
     hit = _AIR_JITS.get(key)
@@ -246,6 +253,89 @@ def get_air_jits(air):
     constraints = air_mod.all_constraints(air)
     shift_inv = gl.host_inv(gl.SHIFT)
     w_n = gl.host_w(air.n_bits)
+
+    def _pubs(publics):
+        return [publics[i] for i in range(air.n_publics)]
+
+    def round2(const_n, cm1_n, ch, publics, x_n, l1_n):
+        env = EvalEnv({"const": const_n, "cm1": cm1_n},
+                      _challenges_env(ch), _pubs(publics), x_n, l1_n, 1)
+        cm2 = gl.zeros((n, air.cm2_width))
+        bad_total = jnp.uint64(0)
+        for pu in air.plookups:
+            f_dev = jnp.stack(env.eval_ext(pu.f_exp), axis=1)
+            t_dev = jnp.stack(env.eval_ext(pu.t_exp), axis=1)
+            h1, h2, bad = lookup.calculate_h1h2_device(f_dev, t_dev)
+            cm2 = _set_cols(cm2, pu.h1_col.index,
+                            tuple(h1[:, k] for k in range(3)))
+            cm2 = _set_cols(cm2, pu.h2_col.index,
+                            tuple(h2[:, k] for k in range(3)))
+            bad_total = bad_total + bad
+        return cm2, bad_total
+
+    def round3(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+        env = EvalEnv({"const": const_n, "cm1": cm1_n, "cm2": cm2_n},
+                      _challenges_env(ch), _pubs(publics), x_n, l1_n, 1)
+        gamma = air_mod.Challenge(CH_GAMMA)
+        beta = air_mod.Challenge(CH_BETA)
+        one_plus_beta = beta + 1
+        gb = gamma * one_plus_beta
+
+        cm3 = gl.zeros((n, air.cm3_width))
+
+        def z_set(cm3, zcol, num_v, den_v):
+            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
+            z = _exclusive_prefix_product(ratios)
+            return _set_cols(cm3, zcol.index, z)
+
+        for (col, expr) in air.im_defs:
+            k, v = env.eval(expr)
+            triple = gl3.from_base(v) if k == "base" else v
+            triple = tuple(jnp.broadcast_to(jnp.asarray(c), (n,))
+                           for c in triple)
+            cm3 = _set_cols(cm3, col.index, triple)
+        for pu in air.plookups:
+            f, t = pu.f_exp, pu.t_exp
+            h1c, h2c = pu.h1_col, pu.h2_col
+            num = one_plus_beta * (gamma + f) \
+                * (gb + t + beta * air_mod._shift_expr(t))
+            den = (gb + h1c + beta * h2c) \
+                * (gb + h2c + beta * h1c.shifted())
+            cm3 = z_set(cm3, pu.z_col, env.eval_ext(num), env.eval_ext(den))
+        for pe in air.permutations:
+            cm3 = z_set(cm3, pe.z_col, env.eval_ext(pe.f_exp + gamma),
+                        env.eval_ext(pe.t_exp + gamma))
+        for ci in air.connections:
+            xx = air_mod.XSymbol()
+            num_factors = [c + beta * k * xx + gamma
+                           for c, k in zip(ci.cols, ci.k_coeffs)]
+            den_factors = [c + beta * s + gamma
+                           for c, s in zip(ci.cols, ci.s_cols)]
+            if not ci.num_ims:
+                num = air_mod.Const(1)
+                den = air_mod.Const(1)
+                for fn_, fd in zip(num_factors, den_factors):
+                    num = num * fn_
+                    den = den * fd
+                cm3 = z_set(cm3, ci.z_col, env.eval_ext(num),
+                            env.eval_ext(den))
+            else:
+                groups = ci.factor_groups()
+                finals = []
+                for ims, factors in ((ci.num_ims, num_factors),
+                                     (ci.den_ims, den_factors)):
+                    vals = [env.eval_ext(f_) for f_ in factors]
+                    prev = None
+                    for gi, grp in enumerate(groups):
+                        prod = prev
+                        for fi in grp:
+                            prod = vals[fi] if prod is None \
+                                else gl3.mul(prod, vals[fi])
+                        cm3 = _set_cols(cm3, ims[gi].index, prod)
+                        prev = prod
+                    finals.append(prev)
+                cm3 = z_set(cm3, ci.z_col, finals[0], finals[1])
+        return cm3
 
     def quotient(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext,
                  zi_ext):
@@ -327,9 +417,11 @@ def get_air_jits(air):
         return evals_arr, fri_pol
 
     if _use_jit_pipelines():
-        jits = {"quotient": jax.jit(quotient), "round5": jax.jit(round5)}
+        jits = {"round2": jax.jit(round2), "round3": jax.jit(round3),
+                "quotient": jax.jit(quotient), "round5": jax.jit(round5)}
     else:
-        jits = {"quotient": quotient, "round5": round5}
+        jits = {"round2": round2, "round3": round3,
+                "quotient": quotient, "round5": round5}
     _AIR_JITS[key] = (air, jits)
     return jits
 
@@ -435,8 +527,8 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     _abort_point()
     t_r2 = timer("stark.step2_h1h2", log=True)
     t_r2.__enter__()
-    e = env_n()
     if host:
+        e = env_n()
         cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
         for pu in air.plookups:
             f_np = _expr_to_np(e, pu.f_exp)
@@ -447,20 +539,14 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
             cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
         cm2_n = cm2_np
     else:
-        # device multiset split: everything stays on-chip (lax.sort)
-        import jax.numpy as jnp
-        cm2_n = gl.zeros((n, air.cm2_width))
-        bad_total = None
-        for pu in air.plookups:
-            f_dev = jnp.stack(e.eval_ext(pu.f_exp), axis=1)
-            t_dev = jnp.stack(e.eval_ext(pu.t_exp), axis=1)
-            h1, h2, bad = lookup.calculate_h1h2_device(f_dev, t_dev)
-            cm2_n = _set_cols(cm2_n, pu.h1_col.index,
-                              tuple(h1[:, k] for k in range(3)))
-            cm2_n = _set_cols(cm2_n, pu.h2_col.index,
-                              tuple(h2[:, k] for k in range(3)))
-            bad_total = bad if bad_total is None else bad_total + bad
-        if bad_total is not None:
+        # device multiset split, whole round as ONE jitted graph
+        jits = get_air_jits(air)
+        publics_arr = gl.from_u64_np(np.array(publics + [0],
+                                              dtype=np.uint64))
+        cm2_n, bad_total = jits["round2"](sections_n["const"], cm1_n,
+                                          _challenges_array(challenges),
+                                          publics_arr, x_n, l1_n)
+        if air.plookups:
             assert int(bad_total) == 0, \
                 "plookup: f contains values missing from t"
     if host:
@@ -483,78 +569,73 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     _abort_point()
     t_r3 = timer("stark.step3_z", log=True)
     t_r3.__enter__()
-    e = env_n()
-    gamma = air_mod.Challenge(CH_GAMMA)
-    beta = air_mod.Challenge(CH_BETA)
-    one_plus_beta = beta + 1
-    gb = gamma * one_plus_beta
+    if host:
+        e = env_n()
+        gamma = air_mod.Challenge(CH_GAMMA)
+        beta = air_mod.Challenge(CH_BETA)
+        one_plus_beta = beta + 1
+        gb = gamma * one_plus_beta
 
-    z_triples = []
-    for pu in air.plookups:
-        f, t = pu.f_exp, pu.t_exp
-        h1 = pu.h1_col
-        h2 = pu.h2_col
-        num = one_plus_beta * (gamma + f) * (gb + t + beta * air_mod._shift_expr(t))
-        den = (gb + h1 + beta * h2) * (gb + h2 + beta * h1.shifted())
-        z_triples.append((pu.z_col, e.eval_ext(num), e.eval_ext(den)))
-    for pe in air.permutations:
-        num = pe.f_exp + gamma
-        den = pe.t_exp + gamma
-        z_triples.append((pe.z_col, e.eval_ext(num), e.eval_ext(den)))
-    im_fills = []       # (col, triple) intermediate products to commit
-    for ci in air.connections:
-        xx = air_mod.XSymbol()
-        num_factors = [c + beta * k * xx + gamma
-                       for c, k in zip(ci.cols, ci.k_coeffs)]
-        den_factors = [c + beta * s + gamma
-                       for c, s in zip(ci.cols, ci.s_cols)]
-        if not ci.num_ims:
-            num = air_mod.Const(1)
-            den = air_mod.Const(1)
-            for fn, fd in zip(num_factors, den_factors):
-                num = num * fn
-                den = den * fd
-            z_triples.append((ci.z_col, e.eval_ext(num), e.eval_ext(den)))
-        else:
-            groups = ci.factor_groups()
-            finals = []
-            for ims, factors in ((ci.num_ims, num_factors),
-                                 (ci.den_ims, den_factors)):
-                vals = [e.eval_ext(f) for f in factors]
-                if host:
-                    from ..fields import glh
+        z_triples = []
+        for pu in air.plookups:
+            f, t = pu.f_exp, pu.t_exp
+            h1 = pu.h1_col
+            h2 = pu.h2_col
+            num = one_plus_beta * (gamma + f) \
+                * (gb + t + beta * air_mod._shift_expr(t))
+            den = (gb + h1 + beta * h2) * (gb + h2 + beta * h1.shifted())
+            z_triples.append((pu.z_col, e.eval_ext(num), e.eval_ext(den)))
+        for pe in air.permutations:
+            num = pe.f_exp + gamma
+            den = pe.t_exp + gamma
+            z_triples.append((pe.z_col, e.eval_ext(num), e.eval_ext(den)))
+        im_fills = []       # (col, triple) intermediate products to commit
+        for ci in air.connections:
+            xx = air_mod.XSymbol()
+            num_factors = [c + beta * k * xx + gamma
+                           for c, k in zip(ci.cols, ci.k_coeffs)]
+            den_factors = [c + beta * s + gamma
+                           for c, s in zip(ci.cols, ci.s_cols)]
+            if not ci.num_ims:
+                num = air_mod.Const(1)
+                den = air_mod.Const(1)
+                for fn, fd in zip(num_factors, den_factors):
+                    num = num * fn
+                    den = den * fd
+                z_triples.append((ci.z_col, e.eval_ext(num),
+                                  e.eval_ext(den)))
+            else:
+                from ..fields import glh
+                groups = ci.factor_groups()
+                finals = []
+                for ims, factors in ((ci.num_ims, num_factors),
+                                     (ci.den_ims, den_factors)):
+                    vals = [e.eval_ext(f) for f in factors]
                     vals = [tuple(np.asarray(c, dtype=np.uint64) for c in v)
                             for v in vals]
-                    mul3 = glh.mul3
-                else:
-                    mul3 = gl3.mul
-                prev = None
-                for gi, grp in enumerate(groups):
-                    prod = prev
-                    for fi in grp:
-                        prod = vals[fi] if prod is None \
-                            else mul3(prod, vals[fi])
-                    im_fills.append((ims[gi], prod))
-                    prev = prod
-                finals.append(prev)
-            z_triples.append((ci.z_col, finals[0], finals[1]))
+                    prev = None
+                    for gi, grp in enumerate(groups):
+                        prod = prev
+                        for fi in grp:
+                            prod = vals[fi] if prod is None \
+                                else glh.mul3(prod, vals[fi])
+                        im_fills.append((ims[gi], prod))
+                        prev = prod
+                    finals.append(prev)
+                z_triples.append((ci.z_col, finals[0], finals[1]))
 
-    # auto-committed degree-lowering ims (air.im_defs): evaluate on H
-    for (col, expr) in air.im_defs:
-        k, v = e.eval(expr)
-        if k == "base":
-            if host:
+        # auto-committed degree-lowering ims (air.im_defs): evaluate on H
+        for (col, expr) in air.im_defs:
+            k, v = e.eval(expr)
+            if k == "base":
                 v = np.asarray(v, dtype=np.uint64) \
                     + np.zeros(n, dtype=np.uint64)
                 triple = (v, np.zeros(n, dtype=np.uint64),
                           np.zeros(n, dtype=np.uint64))
             else:
-                triple = gl3.from_base(v)
-        else:
-            triple = v
-        im_fills.append((col, triple))
+                triple = v
+            im_fills.append((col, triple))
 
-    if host:
         cm3_np = np.zeros((n, air.cm3_width), dtype=np.uint64)
         for (col, triple) in im_fills:
             for k in range(3):
@@ -573,16 +654,11 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
         cm3_ext = ntt.extend_pol_np(cm3_np, air.n_bits_ext) \
             if air.cm3_width else np.zeros((n_ext, 0), dtype=np.uint64)
     else:
-        cm3_n = gl.zeros((n, air.cm3_width))
-        for (col, triple) in im_fills:
-            if isinstance(triple[0], np.ndarray):
-                triple = tuple(gl.from_u64_np(c) for c in triple)
-            cm3_n = _set_cols(cm3_n, col.index, triple)
-        for (zcol, num_v, den_v) in z_triples:
-            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
-            z = _exclusive_prefix_product(ratios)
-            cm3_n = _set_cols(cm3_n, zcol.index, z)
-
+        # whole round traced as one graph (ims + every Z scan)
+        cm3_n = jits["round3"](sections_n["const"], cm1_n,
+                               sections_n["cm2"],
+                               _challenges_array(challenges),
+                               publics_arr, x_n, l1_n)
         if air.cm3_width:
             cm3_ext = ntt.extend_pol(cm3_n, air.n_bits_ext)
         else:
@@ -675,9 +751,14 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
 
 def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
     """The sharded prover: every device stage runs under the mesh with the
-    row axis partitioned; the grand-product scan uses the shard_map
-    distributed scan (parallel/pipeline.py)."""
+    row axis partitioned — natural-domain sections included, so round-2/3
+    expression evaluation runs SPMD (jnp.roll shifts become ICI permutes).
+    The plookup split is the device lax.sort path under the mesh; the
+    grand-product scan is the shard_map distributed scan
+    (parallel/pipeline.py); FRI folds and query gathers stay on-device
+    (no section-sized host pulls — SURVEY §2.7 P8, friProve.cpp:153-178)."""
     import jax
+    import jax.numpy as jnp
     from ..parallel import pipeline as par
 
     air = setup.air
@@ -688,52 +769,61 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
     transcript.put(setup.verkey)
     transcript.put(publics)
 
-    x_n = _domain_x(air.n_bits)
-    x_ext = _domain_x(air.n_bits_ext, shift=gl.SHIFT)
-    l1_n = _l1_values_n(n)
-    l1_ext = _l1_values_ext(air)
-    zi_ext = _zi_values_ext(air)
-    publics_dev = [gl.full((), p) for p in publics]
-    challenges = {}
     row = par.row_sharding(mesh)
+    row1 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+        par.AXIS))
 
     def shard(sec):
         return jax.device_put(sec, row)
+
+    def shard1(vec):
+        return jax.device_put(vec, row1)
+
+    x_n = shard1(_domain_x(air.n_bits))
+    x_ext = shard1(_domain_x(air.n_bits_ext, shift=gl.SHIFT))
+    l1_n = shard1(_l1_values_n(n))
+    l1_ext = shard1(_l1_values_ext(air))
+    zi_ext = shard1(_zi_values_ext(air))
+    publics_dev = [gl.full((), p) for p in publics]
+    challenges = {}
+
+    h1h2_dev = jax.jit(lookup.calculate_h1h2_device)
 
     with mesh:
         t_stage = timer("stark.mesh_r1", log=True)
         t_stage.__enter__()
         # ---- round 1 --------------------------------------------------
-        # eager expression work below runs on UNSHARDED arrays (each eager
-        # op over a sharded array compiles its own SPMD executable); only
-        # the jitted stages (LDE, Merkle, scan, quotient, round5) see
-        # sharded inputs
-        cm1_n = gl.from_u64_np(cm1_np.astype(np.uint64))
-        cm1_ext = par.lde_sharded(shard(cm1_n), air.n_bits_ext, mesh)
+        cm1_n = shard(gl.from_u64_np(cm1_np.astype(np.uint64)))
+        cm1_ext = par.lde_sharded(cm1_n, air.n_bits_ext, mesh)
         tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
         root1 = scheme.root(tree1)
         transcript.put(root1)
-        sections_n = {"const": _const_n_dev(setup), "cm1": cm1_n}
+        sections_n = {"const": shard(_const_n_dev(setup)), "cm1": cm1_n}
         sections_ext = {"const": shard(_const_ext_dev(setup)),
                         "cm1": cm1_ext}
 
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_r2", log=True)
         t_stage.__enter__()
-        # ---- round 2 --------------------------------------------------
+        # ---- round 2: device multiset split under the mesh -------------
         challenges[CH_U] = _challenge_triple(transcript)
         challenges[CH_DEFVAL] = _challenge_triple(transcript)
         env = EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
-        cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
+        cm2_n = shard(gl.zeros((n, air.cm2_width)))
+        bad_total = None
         for pu in air.plookups:
-            f_np = _expr_to_np(env, pu.f_exp)
-            t_np = _expr_to_np(env, pu.t_exp)
-            h1, h2 = lookup.calculate_h1h2(f_np, t_np)
-            d = f_np.shape[1]
-            cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = h1
-            cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = h2
-        cm2_n = gl.from_u64_np(cm2_np)
-        cm2_ext = par.lde_sharded(shard(cm2_n), air.n_bits_ext, mesh) \
+            f_dev = jnp.stack(env.eval_ext(pu.f_exp), axis=1)
+            t_dev = jnp.stack(env.eval_ext(pu.t_exp), axis=1)
+            h1, h2, bad = h1h2_dev(shard(f_dev), shard(t_dev))
+            cm2_n = _set_cols(cm2_n, pu.h1_col.index,
+                              tuple(h1[:, k] for k in range(3)))
+            cm2_n = _set_cols(cm2_n, pu.h2_col.index,
+                              tuple(h2[:, k] for k in range(3)))
+            bad_total = bad if bad_total is None else bad_total + bad
+        if bad_total is not None:
+            assert int(bad_total) == 0, \
+                "plookup: f contains values missing from t"
+        cm2_ext = par.lde_sharded(cm2_n, air.n_bits_ext, mesh) \
             if air.cm2_width else gl.zeros((n_ext, 0))
         tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
         root2 = scheme.root(tree2)
@@ -753,31 +843,29 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         one_plus_beta = beta + 1
         gb = gamma * one_plus_beta
         gp = jax.jit(par.build_grand_product_sharded(mesh))
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as PS
-        tri_shard = tuple(NamedSharding(mesh, PS(par.AXIS))
-                          for _ in range(3))
+        tri_shard = tuple(row1 for _ in range(3))
 
         def bshard(c):
-            arr = np.asarray(c, dtype=np.uint64)
-            if arr.ndim == 0:
-                arr = np.broadcast_to(arr, (n,)).copy()
-            return jax.device_put(arr, tri_shard[0])
+            c = jnp.asarray(c, dtype=jnp.uint64)
+            if c.ndim == 0:
+                c = jnp.broadcast_to(c, (n,))
+            return jax.device_put(c, row1)
 
         def z_of(num_e, den_e):
             num_v = tuple(bshard(c) for c in env.eval_ext(num_e))
             den_v = tuple(bshard(c) for c in env.eval_ext(den_e))
-            z = gp(num_v, den_v)
-            return tuple(gl.from_u64_np(np.asarray(c, dtype=np.uint64))
-                         for c in z)
+            return gp(num_v, den_v)
 
-        cm3_n = gl.zeros((n, air.cm3_width))
+        cm3_n = shard(gl.zeros((n, air.cm3_width)))
         for (col, expr) in air.im_defs:
-            cm3_n = _set_cols(cm3_n, col.index, env.eval_ext(expr))
+            cm3_n = _set_cols(cm3_n, col.index,
+                              tuple(bshard(c)
+                                    for c in env.eval_ext(expr)))
         for pu in air.plookups:
             f, t = pu.f_exp, pu.t_exp
             h1c, h2c = pu.h1_col, pu.h2_col
-            num = one_plus_beta * (gamma + f)                 * (gb + t + beta * air_mod._shift_expr(t))
+            num = one_plus_beta * (gamma + f) \
+                * (gb + t + beta * air_mod._shift_expr(t))
             den = (gb + h1c + beta * h2c) * (gb + h2c + beta * h1c.shifted())
             cm3_n = _set_cols(cm3_n, pu.z_col.index, z_of(num, den))
         for pe in air.permutations:
@@ -806,18 +894,17 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
                     for gi, grp in enumerate(groups):
                         prod = prev
                         for fi in grp:
-                            prod = vals[fi] if prod is None                                 else gl3.mul(prod, vals[fi])
-                        cm3_n = _set_cols(cm3_n, ims[gi].index, prod)
+                            prod = vals[fi] if prod is None \
+                                else gl3.mul(prod, vals[fi])
+                        cm3_n = _set_cols(cm3_n, ims[gi].index,
+                                          tuple(bshard(c) for c in prod))
                         prev = prod
                     finals.append(prev)
-                ratios_num = tuple(bshard(c) for c in finals[0])
-                ratios_den = tuple(bshard(c) for c in finals[1])
-                z = gp(ratios_num, ratios_den)
-                cm3_n = _set_cols(cm3_n, ci.z_col.index,
-                                  tuple(gl.from_u64_np(
-                                      np.asarray(c, dtype=np.uint64))
-                                      for c in z))
-        cm3_ext = par.lde_sharded(shard(cm3_n), air.n_bits_ext, mesh)             if air.cm3_width else gl.zeros((n_ext, 0))
+                z = gp(tuple(bshard(c) for c in finals[0]),
+                       tuple(bshard(c) for c in finals[1]))
+                cm3_n = _set_cols(cm3_n, ci.z_col.index, z)
+        cm3_ext = par.lde_sharded(cm3_n, air.n_bits_ext, mesh) \
+            if air.cm3_width else gl.zeros((n_ext, 0))
         tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
         root3 = scheme.root(tree3)
         transcript.put(root3)
@@ -854,17 +941,12 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_fri", log=True)
         t_stage.__enter__()
-        # ---- FRI -------------------------------------------------------
-        # fold math runs eagerly: pull the DEEP polynomial off the mesh so
-        # each fold op does not recompile as an SPMD executable
-        fri_pol = tuple(gl.from_u64_np(np.asarray(c, dtype=np.uint64))
-                        for c in fri_pol)
+        # ---- FRI: folds and query gathers stay on-device ---------------
         trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
-        sources_main = [gl.to_u64_np(cm1_ext), gl.to_u64_np(cm2_ext),
-                        gl.to_u64_np(cm3_ext), gl.to_u64_np(cm4_ext),
-                        setup.const_ext_np]
+        sources_main = [cm1_ext, sections_ext["cm2"], cm3_ext, cm4_ext,
+                        sections_ext["const"]]
         fri_steps_data, final_pol, _ys = fri_mod.prove(
-            transcript, fri_pol, air, trees_main, sources_main)
+            transcript, fri_pol, air, trees_main, sources_main, scheme)
         t_stage.__exit__(None, None, None)
 
     return StarkProof(roots=[root1, root2, root3, root4],
