@@ -43,6 +43,10 @@ class BatchInput:
     batch_hash_data: int = 0
     db: dict = dataclasses.field(default_factory=dict)
     contracts_bytecode: dict = dataclasses.field(default_factory=dict)
+    # raw-quad variants (witness2db output: key quad -> limb list / bytes);
+    # the stateless path fills these to skip hex re-encoding
+    db_raw: dict = dataclasses.field(default_factory=dict)
+    programs_raw: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def load(path: str) -> "BatchInput":
@@ -101,6 +105,13 @@ class BatchInput:
                          for j in range(4))
             hashdb.db.set_program(quad,
                                   bytes.fromhex(code.removeprefix("0x")))
+        for quad, vals in self.db_raw.items():
+            vals = [int(x) for x in vals]
+            if len(vals) == 8:
+                vals += [0, 0, 0, 0]
+            hashdb.db.write(tuple(int(v) for v in quad), vals)
+        for quad, code in self.programs_raw.items():
+            hashdb.db.set_program(tuple(int(v) for v in quad), bytes(code))
 
     def setup_registers(self, ctx: Context):
         """Initial register file (main_executor.cpp:5700-5715)."""

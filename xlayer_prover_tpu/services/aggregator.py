@@ -130,6 +130,10 @@ class AggregatorClient:
         elif which == "gen_batch_proof_request":
             out.gen_batch_proof_response.CopyFrom(
                 self._gen_batch(msg.gen_batch_proof_request))
+        elif which == "gen_stateless_batch_proof_request":
+            out.gen_batch_proof_response.CopyFrom(
+                self._gen_stateless_batch(
+                    msg.gen_stateless_batch_proof_request))
         elif which == "gen_aggregated_proof_request":
             out.gen_aggregated_proof_response.CopyFrom(
                 self._gen_aggregated(msg.gen_aggregated_proof_request))
@@ -167,6 +171,54 @@ class AggregatorClient:
         if self.input_decoder is not None:
             payload.update(self.input_decoder(req.input) or {})
         preq = ProverRequest(RequestType.GEN_BATCH_PROOF, payload)
+        uid = self.prover.submit(preq)
+        return pb.GenBatchProofResponse(id=uid, result=pb.RESULT_OK)
+
+    def _gen_stateless_batch(self, req):
+        """GenStatelessBatchProof (reference aggregator_client.cpp:377-448):
+        rebuild the pre-state node map from the Erigon witness blob
+        (witness2db), decode the sequencer datastream into batchL2Data
+        (dataStream2batch), then submit a standard batch-proof job; the
+        reply rides gen_batch_proof_response exactly like the reference."""
+        from ..executor.input import BatchInput
+        from ..state.datastream import batch_to_l2_data, datastream2batch
+        from ..state.witness import witness2db
+        from .executor_service import ExecutorServiceImpl
+        pi = req.input.public_inputs
+        try:
+            if not pi.witness:
+                raise ValueError("empty witness")
+            wres = witness2db(pi.witness)
+            if not pi.data_stream:
+                raise ValueError("empty data stream")
+            batch = datastream2batch(pi.data_stream)
+            if not batch.blocks:
+                raise ValueError("datastream has zero blocks")
+            l2_data = batch_to_l2_data(batch)
+            if len(l2_data) > ExecutorServiceImpl.MAX_BATCH_L2_DATA_SIZE:
+                raise ValueError(
+                    f"batchL2Data {len(l2_data)} > "
+                    f"{ExecutorServiceImpl.MAX_BATCH_L2_DATA_SIZE}")
+            seq = pi.sequencer_addr
+            inp = BatchInput(
+                old_state_root=wres.state_root,
+                chain_id=batch.chain_id,
+                fork_id=batch.fork_id or self.fork_id,
+                batch_l2_data=l2_data,
+                sequencer_addr=int(seq, 16) if seq else 0,
+                timestamp_limit=pi.timestamp_limit,
+                l1_info_root=int.from_bytes(pi.l1_info_root, "big"),
+                forced_blockhash_l1=int.from_bytes(pi.forced_blockhash_l1,
+                                                   "big"),
+                old_acc_input_hash=int.from_bytes(pi.old_acc_input_hash,
+                                                  "big"),
+                db_raw=dict(wres.db),
+                programs_raw=dict(wres.programs))
+        except Exception as e:  # noqa: BLE001 - wire boundary
+            zklog.error(f"aggregator GenStatelessBatchProof: {e}")
+            return pb.GenBatchProofResponse(result=pb.RESULT_ERROR)
+        preq = ProverRequest(RequestType.GEN_BATCH_PROOF,
+                             {"circuit": "batch", "input": inp})
         uid = self.prover.submit(preq)
         return pb.GenBatchProofResponse(id=uid, result=pb.RESULT_OK)
 
