@@ -128,6 +128,10 @@ class LRUCache:
     def __len__(self):
         return len(self._d)
 
+    def clear(self):
+        self._d.clear()
+        self._bytes = 0
+
 
 class AssociativeCache:
     """Direct-mapped cache indexed by Goldilocks-quad key bits
@@ -158,6 +162,10 @@ class AssociativeCache:
         self._keys[s] = key
         self._vals[s] = value
 
+    def clear(self):
+        self._keys = [None] * len(self._keys)
+        self._vals = [None] * len(self._vals)
+
 
 class MultiWrite:
     """Write-behind double buffer with flush-id generations
@@ -171,6 +179,7 @@ class MultiWrite:
         self.pending_nodes: Dict[Key, List[int]] = {}
         self.pending_programs: Dict[Key, bytes] = {}
         self.sealed: "OrderedDict[int, tuple]" = OrderedDict()
+        self.stored_history: "OrderedDict[int, tuple]" = OrderedDict()
         self.last_flush_id = 0
         self.storing_flush_id = 0
         self.stored_flush_id = 0
@@ -222,7 +231,10 @@ class MultiWrite:
 
     def get_flush_data(self, flush_id: int):
         with self.lock:
-            return self.sealed.get(flush_id)
+            data = self.sealed.get(flush_id)
+            if data is None:
+                data = self.stored_history.get(flush_id)
+            return data
 
     def status(self) -> dict:
         with self.lock:
@@ -266,7 +278,15 @@ class MultiWrite:
                     self.backend.set_program(k, d)
                 self.backend.flush()
                 with self.lock:
-                    self.sealed.pop(fid, None)
+                    data = self.sealed.pop(fid, None)
+                    if data is not None:
+                        # keep a bounded history so getFlushData can serve
+                        # the sequencer's flush-recovery protocol after the
+                        # generation already hit the backend
+                        self.stored_history[fid] = data
+                        while len(self.stored_history) > 16:
+                            self.stored_history.pop(
+                                next(iter(self.stored_history)))
                     self.stored_flush_id = fid
 
 
@@ -327,6 +347,21 @@ class CachedDB:
 
     def flush_status(self) -> dict:
         return self.multi_write.status()
+
+    def get_flush_data(self, flush_id: int):
+        """(stored_flush_id, nodes, programs) for a sealed generation
+        (reference Database::getFlushData, database.hpp:115)."""
+        sealed = self.multi_write.get_flush_data(flush_id)
+        stored = self.multi_write.status()["stored_flush_id"]
+        if sealed is None:
+            return stored, {}, {}
+        nodes, programs = sealed
+        return stored, dict(nodes), dict(programs)
+
+    def clear_caches(self):
+        self.mt_cache.clear()
+        self.assoc.clear()
+        self.program_cache.clear()
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,9 @@ class HashDB:
         self.db = db if db is not None else MemoryDB()
         self.batches: Dict[str, _OverlayDB] = {}
         self.tx_marks: Dict[str, List[_TxSubstate]] = {}
+        self.latest_root: tuple = (0, 0, 0, 0)
+        self._batch_roots: Dict[str, tuple] = {}
+        self._block_marks: Dict[str, list] = {}
 
     def _store(self, batch_uuid: Optional[str]):
         if batch_uuid is None:
@@ -78,7 +81,12 @@ class HashDB:
     def set(self, batch_uuid: Optional[str], old_root, key,
             value: int) -> SmtSetResult:
         store = self._store(batch_uuid)
-        return Smt(store).set(old_root, key, value)
+        res = Smt(store).set(old_root, key, value)
+        if batch_uuid is not None:
+            self._batch_roots[batch_uuid] = tuple(res.new_root)
+        else:
+            self.latest_root = tuple(res.new_root)
+        return res
 
     def get(self, batch_uuid: Optional[str], root, key) -> SmtGetResult:
         store = self._store(batch_uuid)
@@ -111,6 +119,10 @@ class HashDB:
         """Write the batch overlay through to the backing database."""
         store = self.batches.pop(batch_uuid, None)
         self.tx_marks.pop(batch_uuid, None)
+        self._block_marks.pop(batch_uuid, None)
+        root = self._batch_roots.pop(batch_uuid, None)
+        if root is not None:
+            self.latest_root = root
         if store is None:
             return
         for k, v in store.overlay.items():
@@ -123,3 +135,69 @@ class HashDB:
         """Drop the whole batch overlay (cancelBatch)."""
         self.batches.pop(batch_uuid, None)
         self.tx_marks.pop(batch_uuid, None)
+        self._batch_roots.pop(batch_uuid, None)
+        self._block_marks.pop(batch_uuid, None)
+
+    # -- reference HashDBInterface extras (hashdb_interface.hpp:21-40) ---
+    def get_latest_state_root(self) -> tuple:
+        return self.latest_root
+
+    def start_block(self, batch_uuid: str, old_state_root, persistence=0):
+        """Block boundary start (stateManager block substate)."""
+        self._store(batch_uuid)
+        self._block_marks.setdefault(batch_uuid, []).append(
+            ("start", tuple(int(v) for v in old_state_root)
+             if not isinstance(old_state_root, str) else old_state_root))
+
+    def finish_block(self, batch_uuid: str, new_state_root, persistence=0):
+        self._block_marks.setdefault(batch_uuid, []).append(
+            ("finish", new_state_root))
+
+    def finish_tx(self, batch_uuid: str, new_state_root, persistence=0):
+        """Tx boundary: seal the current substate (reference finishTx);
+        rollback via revert_tx returns to the previous boundary."""
+        store = self._store(batch_uuid)
+        self.tx_marks[batch_uuid].append(_TxSubstate(
+            nodes=dict(store.overlay), programs=dict(store.programs),
+            old_root=self._batch_roots.get(batch_uuid, (0, 0, 0, 0))))
+
+    def read_tree(self, state_root, keys):
+        """Bulk sub-trie read at a consolidated root (readTree RPC)."""
+        return Smt(self.db).read_tree(state_root, keys)
+
+    def get_flush_data(self, flush_id: int):
+        """The sequencer's flush-recovery protocol (getFlushData RPC):
+        returns (stored_flush_id, nodes, programs) persisted at that
+        generation; empty when the backend keeps no write-behind log."""
+        getter = getattr(self.db, "get_flush_data", None)
+        if getter is None:
+            return 0, {}, {}
+        data = getter(flush_id)
+        if data is None:
+            return 0, {}, {}
+        if isinstance(data, tuple) and len(data) == 3:
+            return data
+        nodes = data.get("nodes", {}) if isinstance(data, dict) else {}
+        progs = data.get("programs", {}) if isinstance(data, dict) else {}
+        return flush_id, nodes, progs
+
+    def clear_cache(self):
+        clear = getattr(self.db, "clear_caches", None)
+        if clear is not None:
+            clear()
+
+    def reset(self):
+        """Drop ALL state (resetDB RPC; reference resetDB truncates the
+        node/program tables)."""
+        self.batches.clear()
+        self.tx_marks.clear()
+        self._batch_roots.clear()
+        self._block_marks.clear()
+        self.latest_root = (0, 0, 0, 0)
+        backend = getattr(self.db, "backend", self.db)
+        for store in (self.db, backend):
+            if hasattr(store, "nodes"):
+                store.nodes.clear()
+            if hasattr(store, "programs"):
+                store.programs.clear()
+        self.clear_cache()
