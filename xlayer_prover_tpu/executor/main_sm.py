@@ -479,7 +479,11 @@ class MainExecutor:
         stop_pc = self.rom.labels.get(stop_label) if stop_label else None
 
         ctx.max_steps = self.max_steps
-        for step in range(self.max_steps):
+        # the step budget is min(row budget, MAX_CNT_STEPS from the ROM
+        # constants) — reference CHECK_MAX_CNT_ASAP on cntSteps
+        step_budget = min(self.max_steps,
+                          ctx.counter_limits.get("steps", self.max_steps))
+        for step in range(step_budget):
             if ctx.done:
                 break
             if stop_pc is not None and regs.zkPC == stop_pc:

@@ -25,10 +25,34 @@ from ..executor.executor import Executor
 from ..executor.main_sm import fea_to_scalar
 from ..state.hashdb import HashDB
 from ..utils.log import zklog
-from ..utils.zkresult import ZkError
+from ..utils.zkresult import ZkError, ZkResult
 from .gen import executor_pb2 as pb
 
 SERVICE = "executor.v1.ExecutorService"
+
+# zkresult -> wire error (reference executor_service.cpp zkresult2error):
+# OOC conditions surface as the specific COUNTERS_OVERFLOW codes so the
+# sequencer can split the batch instead of treating it as a hard failure
+_ZK_TO_EXECUTOR_ERROR = {
+    ZkResult.OUT_OF_COUNTERS_STEP:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_STEPS,
+    ZkResult.OUT_OF_COUNTERS_KECCAK:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_KECCAK,
+    ZkResult.OUT_OF_COUNTERS_BINARY:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_BINARY,
+    ZkResult.OUT_OF_COUNTERS_MEM:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_MEM,
+    ZkResult.OUT_OF_COUNTERS_ARITH:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_ARITH,
+    ZkResult.OUT_OF_COUNTERS_PADDING:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_PADDING,
+    ZkResult.OUT_OF_COUNTERS_POSEIDON:
+        pb.EXECUTOR_ERROR_SM_MAIN_COUNTERS_OVERFLOW_POSEIDON,
+}
+
+
+def _executor_error_of(e: ZkError):
+    return _ZK_TO_EXECUTOR_ERROR.get(e.code, pb.EXECUTOR_ERROR_UNSPECIFIED)
 
 
 class ExecutorServiceImpl:
@@ -127,7 +151,7 @@ class ExecutorServiceImpl:
         except ZkError as e:
             zklog.error(f"executor service: {e}")
             self.hashdb.discard(uuid)
-            resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
+            resp.error = _executor_error_of(e)
         except Exception as e:  # noqa: BLE001
             zklog.error(f"executor service: {e}")
             self.hashdb.discard(uuid)
@@ -250,7 +274,7 @@ class ExecutorServiceImpl:
         except ZkError as e:
             zklog.error(f"executor stateless: {e}")
             self.hashdb.discard(uuid)
-            resp.error = pb.EXECUTOR_ERROR_UNSPECIFIED
+            resp.error = _executor_error_of(e)
         except Exception as e:  # noqa: BLE001
             zklog.error(f"executor stateless: {e}")
             self.hashdb.discard(uuid)
