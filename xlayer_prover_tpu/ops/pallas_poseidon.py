@@ -100,6 +100,74 @@ def _mul_nc(alo, ahi, blo, bhi):
     return lo, hi
 
 
+def _sqr_nc(alo, ahi):
+    """Goldilocks squaring on uint32 limb pairs: the 4x4 half-product
+    matrix is symmetric, so only 10 of 16 products are computed (off-
+    diagonal terms doubled) — ~25% fewer VPU multiplies than _mul_nc."""
+    a = (alo & MASK16, alo >> 16, ahi & MASK16, ahi >> 16)
+    # unique products p[i][j] for i <= j
+    plo = {}
+    phi = {}
+    for i in range(4):
+        for j in range(i, 4):
+            prod_lo = (a[i] * a[j]) & MASK16
+            prod_hi = (a[i] * a[j]) >> 16
+            plo[(i, j)] = prod_lo
+            phi[(i, j)] = prod_hi
+    digits = []
+    carry = jnp.zeros_like(alo)
+    for k in range(8):
+        col = carry
+        for i in range(4):
+            j = k - i
+            if 0 <= j < 4:
+                key = (min(i, j), max(i, j))
+                if i < j:
+                    pass            # counted once when i > j
+                elif i == j:
+                    col = col + plo[key]
+                else:
+                    col = col + (plo[key] << 1)  # i > j: doubled pair
+            j = k - 1 - i
+            if 0 <= j < 4:
+                key = (min(i, j), max(i, j))
+                if i < j:
+                    pass
+                elif i == j:
+                    col = col + phi[key]
+                else:
+                    col = col + (phi[key] << 1)
+        digits.append(col & MASK16)
+        carry = col >> 16
+    n0 = digits[0] | (digits[1] << 16)
+    n1 = digits[2] | (digits[3] << 16)
+    n2 = digits[4] | (digits[5] << 16)
+    n3 = digits[6] | (digits[7] << 16)
+    lo = n0 - n3
+    borrow = (n0 < n3).astype(jnp.uint32)
+    hi = n1 - borrow
+    b2_ = (n1 < borrow).astype(jnp.uint32)
+    lo2 = lo - EPS
+    bw = (lo < EPS).astype(jnp.uint32)
+    lo = jnp.where(b2_ == 1, lo2, lo)
+    hi = jnp.where(b2_ == 1, hi - bw, hi)
+    nz = (n2 != 0).astype(jnp.uint32)
+    t1_lo = jnp.zeros_like(n2) - n2
+    t1_hi = n2 - nz
+    slo = lo + t1_lo
+    c0 = (slo < lo).astype(jnp.uint32)
+    shi0 = hi + t1_hi
+    c1 = (shi0 < hi).astype(jnp.uint32)
+    shi = shi0 + c0
+    c2 = (shi < c0).astype(jnp.uint32)
+    carry_out = c1 | c2
+    slo2 = slo + EPS
+    cc = (slo2 < slo).astype(jnp.uint32)
+    lo = jnp.where(carry_out == 1, slo2, slo)
+    hi = jnp.where(carry_out == 1, shi + cc, shi)
+    return lo, hi
+
+
 def _cond_sub_p(lo, hi):
     geq = (hi > P_HI) | ((hi == P_HI) & (lo >= P_LO))
     bb = (lo < P_LO).astype(jnp.uint32)
@@ -301,18 +369,17 @@ def _mds_small(lo, hi):
 
 
 def _sbox_nc(lo, hi):
-    l2, h2 = _mul_nc(lo, hi, lo, hi)
-    l4, h4 = _mul_nc(l2, h2, l2, h2)
+    # x^7 via the 1,2,4,6,7 chain with the two squarings specialised
+    # (symmetric half-product matrix: 10 products instead of 16)
+    l2, h2 = _sqr_nc(lo, hi)
+    l4, h4 = _sqr_nc(l2, h2)
     l6, h6 = _mul_nc(l4, h4, l2, h2)
     return _mul_nc(l6, h6, lo, hi)
 
 
-def _mds_small_nc(lo, hi):
-    m = jnp.asarray(_mds_small_table())            # (12, 12) u32
-    a0 = jnp.sum((lo & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
-    a1 = jnp.sum((lo >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
-    a2 = jnp.sum((hi & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
-    a3 = jnp.sum((hi >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+def _compose16_nc(a0, a1, a2, a3):
+    """Recombine four u32 sums at 16-bit digit positions into a
+    non-canonical (lo, hi) pair (2^64 overflow folded via 2^32 - 1)."""
     n0 = a0 & MASK16
     t1 = (a0 >> 16) + a1
     n1 = t1 & MASK16
@@ -325,6 +392,35 @@ def _mds_small_nc(lo, hi):
     hi = n2 | (n3 << 16)
     nz = (top != 0).astype(jnp.uint32)
     return _add_nc(lo, hi, jnp.zeros_like(top) - top, top - nz)
+
+
+def _mds_small_nc(lo, hi):
+    m = jnp.asarray(_mds_small_table())            # (12, 12) u32
+    a0 = jnp.sum((lo & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a1 = jnp.sum((lo >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a2 = jnp.sum((hi & MASK16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    a3 = jnp.sum((hi >> 16)[..., :, None] * m, axis=-2, dtype=jnp.uint32)
+    return _compose16_nc(a0, a1, a2, a3)
+
+
+def _mds_small_mxu_nc(lo, hi):
+    """MDS on the MXU: state split into eight 8-bit limb planes, ONE f32
+    dot against the 6-bit MDS matrix (products <= 255*41, sums over 12
+    < 2^18 — exact in f32's 24-bit mantissa), recombined into 16-bit
+    digit sums.  Moves the 144-MAC inner loop off the VPU."""
+    m = jnp.asarray(_mds_small_table().astype(np.float32))     # (12, 12)
+    mask8 = jnp.uint32(0xFF)
+    planes = [(lo >> (8 * k)) & mask8 for k in range(4)] + \
+             [(hi >> (8 * k)) & mask8 for k in range(4)]
+    x = jnp.stack(planes, axis=0).astype(jnp.float32)          # (8, B, 12)
+    r = jax.lax.dot_general(x, m, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    r = r.astype(jnp.uint32)                                   # (8, B, 12)
+    a0 = r[0] + (r[1] << 8)
+    a1 = r[2] + (r[3] << 8)
+    a2 = r[4] + (r[5] << 8)
+    a3 = r[6] + (r[7] << 8)
+    return _compose16_nc(a0, a1, a2, a3)
 
 
 @jax.jit
@@ -354,6 +450,42 @@ def permute_small_lazy(states_u64):
         lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
         hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
         return _mds_small_nc(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    lo, hi = _cond_sub_p(*st)
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+@jax.jit
+def permute_small_lazy_mxu(states_u64):
+    """permute_small_lazy with the MDS on the MXU (f32 limb matmul) —
+    bit-identical; candidate for the silicon shootout."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32)
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][None, :], cr[1][None, :])
+        lo, hi = _sbox_nc(lo, hi)
+        return _mds_small_mxu_nc(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][None, :], cr[1][None, :])
+        s_lo, s_hi = _sbox_nc(lo[:, 0:1], hi[:, 0:1])
+        lo = jnp.concatenate([s_lo, lo[:, 1:]], axis=1)
+        hi = jnp.concatenate([s_hi, hi[:, 1:]], axis=1)
+        return _mds_small_mxu_nc(lo, hi), None
 
     st = (lo, hi)
     st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))

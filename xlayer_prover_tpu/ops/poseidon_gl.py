@@ -112,6 +112,7 @@ def permute(state):
         return permute_u64(state)
     from . import pallas_poseidon as pp
     fn = {"small": pp.permute_small, "small_lazy": pp.permute_small_lazy,
+          "small_lazy_mxu": pp.permute_small_lazy_mxu,
           "small_t": pp.permute_small_t, "mxu": pp.permute_mxu,
           "u32": pp.permute_u32}[kind]
     if state.ndim == 2:
