@@ -67,3 +67,43 @@ def test_service_fork_rejection():
     req = pb.ProcessBatchRequestV2(old_state_root=b"\x00" * 32, fork_id=99)
     resp = impl.process_batch_v2(req, None)
     assert resp.error == pb.EXECUTOR_ERROR_UNSUPPORTED_FORK_ID
+
+
+def test_vendored_rom_bundles_match_reference():
+    """The vendored gzipped ROM bundles load without the reference tree
+    and parse identically to the reference files (checksum-pinned)."""
+    import os
+    from xlayer_prover_tpu import data as bundles
+    from xlayer_prover_tpu.executor.rom import Rom
+    from xlayer_prover_tpu.executor.storage_rom import StorageRom
+
+    assert bundles.has_rom(9)
+    rom = Rom.load_fork(9)
+    assert len(rom.program) > 10000
+    srom = StorageRom.load_default()
+    assert len(srom) > 100
+    ref = "/root/reference/src/main_sm/fork_9/scripts/rom.json"
+    if os.path.exists(ref):
+        ref_rom = Rom.load(ref)
+        assert len(ref_rom.program) == len(rom.program)
+        assert ref_rom.labels == rom.labels
+
+
+def test_vendored_bundle_checksum_enforced(tmp_path, monkeypatch):
+    """A corrupted vendored blob is rejected, not silently loaded."""
+    import gzip
+    import json as _json
+    import shutil
+
+    import pytest
+    from xlayer_prover_tpu import data as bundles
+
+    fake = tmp_path / "roms"
+    fake.mkdir()
+    shutil.copy(os.path.join(bundles._DATA_DIR, "MANIFEST.json"),
+                fake / "MANIFEST.json")
+    with gzip.open(fake / "storage_sm_rom.json.gz", "wb") as f:
+        f.write(_json.dumps({"program": [], "labels": {}}).encode())
+    monkeypatch.setattr(bundles, "_DATA_DIR", str(fake))
+    with pytest.raises(RuntimeError, match="checksum"):
+        bundles.load_storage_rom_json()

@@ -64,8 +64,8 @@ def main():
 
     stages = {}
     t0 = time.perf_counter()
-    rom = Rom.load(REF_ROM)
-    storage_rom = StorageRom.load(REF_SROM)
+    rom = Rom.load_fork(9)
+    storage_rom = StorageRom.load_default()
     engine = BatchProver(rom, n_bits=args.n_bits, chunk_bits=4,
                          limb_bits=16, n_queries=8,
                          max_steps=1 << (args.n_bits - 1),

@@ -17,37 +17,50 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+from .. import data as bundles
 from .main_sm import MainExecutor
 from .rom import Rom
 
-DEFAULT_ROM_DIR = "/root/reference/src/main_sm"
 SUPPORTED_FORKS = (1, 2, 3, 4, 5, 6, 7, 8, 9)
 CURRENT_FORK = 9
 
 
 class ForkRegistry:
-    """Lazy per-fork (Rom, MainExecutor) cache for the fast path."""
+    """Lazy per-fork (Rom, MainExecutor) cache for the fast path.
 
-    def __init__(self, rom_dir: str = DEFAULT_ROM_DIR,
+    ROMs come from the vendored bundles (xlayer_prover_tpu/data/roms,
+    refreshed by tools/vendor_artifacts.py), overridable with
+    $XLAYER_ROM_DIR or an explicit rom_dir of fork_N/scripts/rom.json
+    layout (a reference checkout)."""
+
+    def __init__(self, rom_dir: Optional[str] = None,
                  max_steps: int = 1 << 22):
         self.rom_dir = rom_dir
         self.max_steps = max_steps
         self._roms: Dict[int, Rom] = {}
         self._execs: Dict[int, MainExecutor] = {}
 
-    def rom_path(self, fork_id: int) -> str:
+    def rom_path(self, fork_id: int) -> Optional[str]:
+        if self.rom_dir is None:
+            return None
         return os.path.join(self.rom_dir, f"fork_{fork_id}", "scripts",
                             "rom.json")
 
     def supported(self, fork_id: int) -> bool:
-        return fork_id in SUPPORTED_FORKS \
-            and os.path.exists(self.rom_path(fork_id))
+        if fork_id not in SUPPORTED_FORKS:
+            return False
+        p = self.rom_path(fork_id)
+        if p is not None:
+            return os.path.exists(p)
+        return bundles.has_rom(fork_id)
 
     def rom(self, fork_id: int) -> Optional[Rom]:
         if not self.supported(fork_id):
             return None
         if fork_id not in self._roms:
-            self._roms[fork_id] = Rom.load(self.rom_path(fork_id))
+            p = self.rom_path(fork_id)
+            self._roms[fork_id] = Rom.load(p) if p is not None \
+                else Rom.load_fork(fork_id)
         return self._roms[fork_id]
 
     def executor(self, fork_id: int) -> Optional[MainExecutor]:

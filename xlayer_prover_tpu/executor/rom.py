@@ -89,6 +89,16 @@ class Rom:
         return Rom.from_json(data)
 
     @staticmethod
+    def load_fork(fork_id: int = 9) -> "Rom":
+        """Load a fork's ROM from the vendored bundle (falls back to
+        $XLAYER_ROM_DIR / the reference checkout — see data/__init__)."""
+        from .. import data as bundles
+        j = bundles.load_rom_json(fork_id)
+        if j is None:
+            raise FileNotFoundError(f"no ROM bundle for fork {fork_id}")
+        return Rom.from_json(j)
+
+    @staticmethod
     def from_json(data: dict) -> "Rom":
         program = []
         for zkpc, raw in enumerate(data["program"]):

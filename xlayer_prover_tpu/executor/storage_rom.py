@@ -63,6 +63,19 @@ class StorageRom:
     def load(path: str) -> "StorageRom":
         with open(path) as f:
             data = json.load(f)
+        return StorageRom.from_json(data)
+
+    @staticmethod
+    def load_default() -> "StorageRom":
+        """Vendored storage-SM micro-ROM (data/__init__ resolution)."""
+        from .. import data as bundles
+        j = bundles.load_storage_rom_json()
+        if j is None:
+            raise FileNotFoundError("no storage ROM bundle")
+        return StorageRom.from_json(j)
+
+    @staticmethod
+    def from_json(data: dict) -> "StorageRom":
         lines = []
         for i, raw in enumerate(data["program"]):
             ins = {}

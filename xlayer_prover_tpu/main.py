@@ -28,8 +28,7 @@ def _load_rom(path: str | None):
     from .executor.main_sm import MainExecutor
     from .executor.rom import Rom
 
-    rom_path = path or "/root/reference/src/main_sm/fork_9/scripts/rom.json"
-    rom = Rom.load(rom_path)
+    rom = Rom.load(path) if path else Rom.load_fork(9)
     ex = MainExecutor(rom, max_steps=1 << 23)
     rf.register_all(ex)
     return rom, ex
@@ -97,8 +96,7 @@ def cmd_gen_batch_proof(cfg: Config, input_path: str, rom_path=None,
     from .prover_service import BatchProver
     from .stark import verifier
 
-    rom = Rom.load(rom_path
-                   or "/root/reference/src/main_sm/fork_9/scripts/rom.json")
+    rom = Rom.load(rom_path) if rom_path else Rom.load_fork(9)
     engine = BatchProver(rom, n_bits=n_bits, max_steps=1 << 22)
     inp = BatchInput.load(input_path)
     t0 = time.perf_counter()
@@ -130,8 +128,7 @@ def cmd_prove_from_cmpols(cfg: Config, path: str, rom_path=None,
     from .prover_service import BatchProver
     from .stark import verifier
 
-    rom = Rom.load(rom_path
-                   or "/root/reference/src/main_sm/fork_9/scripts/rom.json")
+    rom = Rom.load(rom_path) if rom_path else Rom.load_fork(9)
     engine = BatchProver(rom, n_bits=n_bits, max_steps=1 << 22)
     cm1, publics = BatchProver.load_cm_pols(path)
     engine.setup(cfg.zkevm_constants_tree)   # preload/persist const tree
