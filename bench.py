@@ -129,6 +129,22 @@ def _device_bench():
     out["poseidon_vs_sol"] = round(pos_rate / pos_sol, 4)
     partial()
 
+    # --- Poseidon permutation backend shootout ---------------------------
+    # raw (batch, 12) permutes per second for the candidate backends
+    # (bit-identical; ops/pallas_poseidon.py).  The production default is
+    # flipped to the silicon winner.
+    from xlayer_prover_tpu.ops import pallas_poseidon as pp
+    pb = 1 << 15
+    states = gl.from_u64_np(
+        rng.integers(0, gl.P, size=(pb, 12), dtype=np.uint64))
+    for name, fn in (("lazy", pp.permute_small_lazy),
+                     ("lazy_mxu", pp.permute_small_lazy_mxu)):
+        st = fn(states)
+        force(st)
+        dt_b, st = timed_chain(fn, st)
+        out[f"poseidon_perm_{name}_Mhz"] = round(pb / dt_b / 1e6, 2)
+        partial()
+
     # --- full Merkle tree build 2^16 x 8 --------------------------------
     # a 2^16 tree builds fully on device in one jit (merkle._build_levels;
     # merkelize uses the same graph at this size), so the timed chain
@@ -278,7 +294,7 @@ def _executor_bench():
         from xlayer_prover_tpu.executor.main_sm import Context, MainExecutor
         from xlayer_prover_tpu.executor.rom import Rom
         from xlayer_prover_tpu.state.hashdb import HashDB
-        rom = Rom.load("/root/reference/src/main_sm/fork_9/scripts/rom.json")
+        rom = Rom.load_fork(9)      # vendored bundle (data/roms)
         try:
             from xlayer_prover_tpu.executor.nexec import (NativeMainExecutor,
                                                           available)

@@ -355,42 +355,79 @@ def gen_trace(air, layout: ZkevmLayout, records, final_regs, required):
     required: the secondary-SM action vectors (Required).
     Returns (const_np, cm1_np, publics).
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     n = air.n
     const_np = fill_fixed(air, layout)
 
     cm1 = np.zeros((n, air.cm1_width), dtype=np.uint64)
-    main_sm_air.expand_trace(layout.main, records, final_regs, cm1)
 
+    # The expanders fill DISJOINT column ranges of cm1, so they run as a
+    # task DAG (the reference's pthread fan-out, executor.cpp:647-702):
+    # phase 1 = every independent SM; phase 2 = the joins (ClimbKey needs
+    # Storage's actions; PoseidonG absorbs Main+Storage+PaddingPG hashes).
+    # Threads overlap the XLA-backed chain expansions (which release the
+    # GIL while the gate scan executes) with the numpy fills.
     bin_actions = [(binary_sm.OPNAMES[op], a, b)
                    for (op, a, b, _res, _carry) in required.binary]
-    binary_sm.expand_trace(layout.binary, bin_actions, cm1)
-    memory_sm.expand_trace(layout.memory, list(required.memory), cm1)
     eq0_actions = [(a, b, c) for (kind, a, b, c, *_rest) in required.arith
                    if kind == 0]
-    arith_sm.expand_trace(layout.arith, eq0_actions, cm1)
     ec_actions = [act for act in required.arith if act[0] != 0]
-    arith_ec_sm.expand_into(layout.arith_ec, ec_actions, cm1)
 
-    pg_actions = [list(r) for r in required.poseidon]
-    if layout.storage is not None:
-        spg, sck = storage_sm.expand_into(layout.storage,
-                                          list(required.storage), cm1)
-        pg_actions += [list(t[0]) for t in spg]
-        climb_key_sm.expand_into(layout.climb_key, sck, cm1)
-    if layout.padding_pg is not None:
-        pg_actions += padding_pg_sm.expand_into(
-            layout.padding_pg, list(required.padding_pg), cm1)
-    poseidon_g_sm.expand_into(layout.poseidon, pg_actions, cm1)
-    if layout.keccak is not None:
-        keccak_chain_sm.expand_into(layout.keccak,
-                                    list(required.padding_kk), cm1)
-    if layout.sha is not None:
-        sha_chain_sm.expand_into(layout.sha,
-                                 list(required.padding_sha), cm1)
-    if layout.mem_align is not None:
-        ma_actions = [mem_align_sm.MemAlignAction(op, m0, m1, off, v)
-                      for (op, m0, m1, off, v) in required.mem_align]
-        mem_align_sm.expand_into(layout.mem_align, ma_actions, cm1)
+    parallel = os.environ.get("XLAYER_PARALLEL_EXPAND", "1") != "0"
+    workers = min(8, (os.cpu_count() or 4)) if parallel else 1
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [
+            pool.submit(main_sm_air.expand_trace, layout.main, records,
+                        final_regs, cm1),
+            pool.submit(binary_sm.expand_trace, layout.binary,
+                        bin_actions, cm1),
+            pool.submit(memory_sm.expand_trace, layout.memory,
+                        list(required.memory), cm1),
+            pool.submit(arith_sm.expand_trace, layout.arith,
+                        eq0_actions, cm1),
+            pool.submit(arith_ec_sm.expand_into, layout.arith_ec,
+                        ec_actions, cm1),
+        ]
+        if layout.keccak is not None:
+            futs.append(pool.submit(keccak_chain_sm.expand_into,
+                                    layout.keccak,
+                                    list(required.padding_kk), cm1))
+        if layout.sha is not None:
+            futs.append(pool.submit(sha_chain_sm.expand_into, layout.sha,
+                                    list(required.padding_sha), cm1))
+        if layout.mem_align is not None:
+            ma_actions = [mem_align_sm.MemAlignAction(op, m0, m1, off, v)
+                          for (op, m0, m1, off, v) in required.mem_align]
+            futs.append(pool.submit(mem_align_sm.expand_into,
+                                    layout.mem_align, ma_actions, cm1))
+        f_storage = None
+        if layout.storage is not None:
+            f_storage = pool.submit(storage_sm.expand_into, layout.storage,
+                                    list(required.storage), cm1)
+        f_ppg = None
+        if layout.padding_pg is not None:
+            f_ppg = pool.submit(padding_pg_sm.expand_into,
+                                layout.padding_pg,
+                                list(required.padding_pg), cm1)
+
+        # phase 2: joins
+        pg_actions = [list(r) for r in required.poseidon]
+        f_climb = None
+        if f_storage is not None:
+            spg, sck = f_storage.result()
+            pg_actions += [list(t[0]) for t in spg]
+            f_climb = pool.submit(climb_key_sm.expand_into,
+                                  layout.climb_key, sck, cm1)
+        if f_ppg is not None:
+            pg_actions += f_ppg.result()
+        futs.append(pool.submit(poseidon_g_sm.expand_into, layout.poseidon,
+                                pg_actions, cm1))
+        if f_climb is not None:
+            futs.append(f_climb)
+        for f in futs:
+            f.result()          # propagate expander exceptions
 
     publics = main_sm_air.publics_list(layout.main, records, final_regs)
     return const_np, cm1, publics
