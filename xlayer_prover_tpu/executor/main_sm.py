@@ -746,16 +746,17 @@ class MainExecutor:
                                               fea_to_scalar(ctx.regs.B))
             return scalar_to_fea(res)
         if line.flag("sRD"):
-            res = ctx.hashdb.get(ctx.batch_uuid,
-                                 self._root_quad(ctx.regs.SR),
-                                 self._storage_key(ctx.regs))
+            old_root = self._root_quad(ctx.regs.SR)
+            key = self._storage_key_cached(ctx)
+            res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
+            ctx._sload_cache = (old_root, key, res)
             return scalar_to_fea(res.value)
         if line.flag("sWR"):
             # free input of an SSTORE is the NEW root (reference
             # main_executor.cpp sWR free-input case: pHashDB->set there,
             # result reused by the later op block)
             old_root = self._root_quad(ctx.regs.SR)
-            key = self._storage_key(ctx.regs)
+            key = self._storage_key_cached(ctx)
             value = fea_to_scalar(ctx.regs.D)
             res = ctx.hashdb.set(ctx.batch_uuid, old_root, key, value)
             ctx._sstore_cache = (old_root, key, value, res)
@@ -952,6 +953,20 @@ class MainExecutor:
             required.poseidon.append(kin1)
         return key
 
+    def _storage_key_cached(self, ctx):
+        """Per-step storage-key memo: the free-input derivation and the
+        op block of the SAME line both need it (registers cannot change
+        in between); kin0/kin1 are kept for the later PoseidonG request
+        recording."""
+        cached = getattr(ctx, "_skey_cache", None)
+        if cached is not None and cached[0] == ctx.step:
+            return cached[1][2]
+        from ..native import poseidon_storage_key
+        regs = ctx.regs
+        triple = poseidon_storage_key(regs.C, regs.A[0:6], regs.B[0:2])
+        ctx._skey_cache = (ctx.step, triple)
+        return triple[2]
+
     @staticmethod
     def _root_quad(sr8):
         """8x32-bit SR limbs -> 4x64-bit SMT root quad."""
@@ -968,7 +983,11 @@ class MainExecutor:
 
     def _do_storage(self, ctx: Context, line: RomLine, op):
         regs = ctx.regs
-        key = self._storage_key(regs, ctx.required)
+        key = self._storage_key_cached(ctx)
+        # record the key-derivation permutations as PoseidonG requests
+        kin0, kin1, _k = ctx._skey_cache[1]
+        ctx.required.poseidon.append(kin0)
+        ctx.required.poseidon.append(kin1)
         old_root = self._root_quad(regs.SR)
         if line.flag("sWR"):
             value = fea_to_scalar(regs.D)
@@ -986,7 +1005,13 @@ class MainExecutor:
             # (main_executor.cpp:2557, applied to cntPoseidonG at :5322)
             _bump(ctx, "poseidon_g", res.proof_hash_counter + 2)
         else:
-            res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
+            cached = getattr(ctx, "_sload_cache", None)
+            if cached is not None and cached[0] == old_root \
+                    and cached[1] == key:
+                res = cached[2]
+                ctx._sload_cache = None
+            else:
+                res = ctx.hashdb.get(ctx.batch_uuid, old_root, key)
             if fea_to_scalar(op) != res.value:
                 raise ZkError(ZkResult.PROVER_ERROR, "sRD value mismatch")
             ctx.required.storage.append(SmtAction(is_set=False,
