@@ -32,7 +32,8 @@ F_JMP, F_JMPC, F_JMPN, F_JMPZ, F_CALL, F_RETURN, F_USEJMPADDR, F_USEELSE = \
     (1 << i for i in range(7, 15))
 F_ASSERT, F_BIN, F_EQ0, F_REPEAT, F_HASCONST, F_HASCONSTL, F_PYLINE, \
     F_FREE_DEFAULT, F_INFREE, F_INFREE0 = (1 << i for i in range(15, 25))
-F_EQ1, F_EQ2, F_FN, F_EXPR, F_HASHA = (1 << i for i in range(25, 30))
+F_EQ1, F_EQ2, F_FN, F_EXPR, F_HASHA, F_SRD, F_SWR = \
+    (1 << i for i in range(25, 32))
 
 # shared-state slot indices (must mirror native/nexec.cpp)
 S_A, S_B, S_C, S_D, S_E, S_SR = 0, 8, 16, 24, 32, 40
@@ -172,6 +173,19 @@ def _load():
     lib.nexec_hash_drain.restype = ctypes.c_int64
     lib.nexec_hash_drain.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_uint64]
+    lib.nexec_set_poseidon.argtypes = [ctypes.c_void_p]
+    lib.nexec_smt_write.argtypes = [ctypes.c_void_p, u64p, u64p,
+                                    ctypes.c_uint64]
+    lib.nexec_smt_log_len.restype = ctypes.c_uint64
+    lib.nexec_smt_log_len.argtypes = [ctypes.c_void_p]
+    lib.nexec_smt_drain.argtypes = [ctypes.c_void_p, u64p]
+    # inject the Poseidon permutation from libzkcrypto (one source of
+    # truth for the constants; the SMT node hashing runs fully native)
+    from ..native import _load as _zk_load
+    zk = _zk_load()
+    if zk is not None:
+        lib.nexec_set_poseidon(
+            ctypes.cast(zk.poseidon_permute, ctypes.c_void_p))
     _lib = lib
     return lib
 
@@ -270,7 +284,7 @@ def decode_rom(rom: Rom):
         "useJmpAddr": F_USEJMPADDR, "useElseAddr": F_USEELSE,
         "assert": F_ASSERT, "bin": F_BIN, "repeat": F_REPEAT,
     }
-    py_flags = ["sRD", "sWR", "arithEq3", "arithEq4", "arithEq5",
+    py_flags = ["arithEq3", "arithEq4", "arithEq5",
                 "memAlignRD", "memAlignWR",
                 "memAlignWR8", "hashKLen", "hashKDigest",
                 "hashPLen", "hashPDigest",
@@ -370,9 +384,19 @@ def decode_rom(rom: Rom):
             else:
                 cmd_off[i] = len(expr_words)
                 expr_words.extend(cmd_blob)
+        is_srd, is_swr = line.flag("sRD"), line.flag("sWR")
+        if is_srd or is_swr:
+            # native SMT lines must have NO other dispatch hooks: the
+            # storage walk has side effects, so the line can never defer
+            # mid-way (commands / FN / HASHA combinations stay Python)
+            if pyline or cmd_blob is not None \
+                    or (fl & (F_FN | F_EXPR | F_HASHA)):
+                pyline = True
+            else:
+                fl |= F_SWR if is_swr else F_SRD
         if pyline:
             fl |= F_PYLINE
-            fl &= ~(F_FN | F_EXPR | F_EQ1 | F_EQ2 | F_HASHA)
+            fl &= ~(F_FN | F_EXPR | F_EQ1 | F_EQ2 | F_HASHA | F_SRD | F_SWR)
             cmd_off[i] = -1
         if line.free_in_tag is not None and not line.free_in_tag.get("op"):
             fl |= F_FREE_DEFAULT
@@ -478,10 +502,38 @@ _ERR_NAMES = {
     -4: "binary check fails", -5: "arith check fails", -6: "fea2scalar",
     -7: "JMPN invalid S33 value", -8: "callback error",
     -9: "address out of range", -10: "out of counters: binary",
-    -11: "out of counters: arith",
+    -11: "out of counters: arith", -12: "out of counters: poseidon",
 }
 _OOC_RESULTS = {-10: ZkResult.OUT_OF_COUNTERS_BINARY,
-                -11: ZkResult.OUT_OF_COUNTERS_ARITH}
+                -11: ZkResult.OUT_OF_COUNTERS_ARITH,
+                -12: ZkResult.OUT_OF_COUNTERS_POSEIDON}
+
+
+def _smt_snapshot(hashdb, batch_uuid):
+    """Full node map for the native SMT store, or None when the backing
+    store shape is unknown (native storage then defers per step)."""
+    store_fn = getattr(hashdb, "_store", None)
+    if store_fn is None:
+        return None
+    nodes = {}
+    db = hashdb.db
+    backend = getattr(db, "backend", None)
+    if backend is not None and hasattr(backend, "nodes"):
+        nodes.update(backend.nodes)
+        mw = getattr(db, "multi_write", None)
+        if mw is not None:
+            with mw.lock:
+                for (gen_nodes, _progs) in mw.sealed.values():
+                    nodes.update(gen_nodes)
+                nodes.update(mw.pending_nodes)
+    elif hasattr(db, "nodes"):
+        nodes.update(db.nodes)
+    else:
+        return None
+    overlay = hashdb.batches.get(batch_uuid)
+    if overlay is not None:
+        nodes.update(overlay.overlay)
+    return nodes
 
 
 class NativeMainExecutor:
@@ -513,17 +565,57 @@ class NativeMainExecutor:
 
         handle_box = []
 
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        smt_box = {"store": None, "seen": 0}
+
+        def _smt_sync_from_native():
+            """Drain natively-written SMT nodes into the Python overlay
+            (py-line reads + post-run consolidation see them)."""
+            store = smt_box["store"]
+            if store is None:
+                return
+            n = int(lib.nexec_smt_log_len(handle_box[0]))
+            if n:
+                buf = np.empty(n * 16, dtype=np.uint64)
+                lib.nexec_smt_drain(handle_box[0],
+                                    buf.ctypes.data_as(u64p))
+                for i in range(n):
+                    rec = buf[i * 16:(i + 1) * 16]
+                    store.write(tuple(int(v) for v in rec[:4]),
+                                [int(v) for v in rec[4:16]])
+            smt_box["seen"] = len(store.overlay)
+
+        def _smt_push_new():
+            """Push Python-written overlay nodes into the C store (a
+            deferred storage line keeps both sides coherent)."""
+            store = smt_box["store"]
+            if store is None:
+                return
+            items = list(store.overlay.items())
+            if len(items) > smt_box["seen"]:
+                new = items[smt_box["seen"]:]
+                keys = np.array([list(k) for (k, _v) in new],
+                                dtype=np.uint64).reshape(-1)
+                vals = np.array([list(v) for (_k, v) in new],
+                                dtype=np.uint64).reshape(-1)
+                lib.nexec_smt_write(handle_box[0],
+                                    keys.ctypes.data_as(u64p),
+                                    vals.ctypes.data_as(u64p), len(new))
+                smt_box["seen"] = len(items)
+
         @_STEP_CB
         def cb(_user, zkpc, step):
             try:
                 self._pull(state, ctx)
                 self._drain_hashes(lib, handle_box[0], ctx)
+                _smt_sync_from_native()
                 if isinstance(ctx.vars, _WriteThroughVars):
                     ctx.vars.refresh_from_block()
                 ctx.step = int(step)
                 line = self.rom.program[int(zkpc)]
                 self.py.execute_line(ctx, line, int(step))
                 self._push(state, ctx)
+                _smt_push_new()
                 return 0
             except Exception as e:  # noqa: BLE001 - crosses the C boundary
                 cb_error.append(e)
@@ -563,9 +655,23 @@ class NativeMainExecutor:
             from .rom_functions import _batch_data
             data = _batch_data(ctx)
             lib.nexec_set_batch_data(handle, data, len(data))
+            # native SMT: preload the full node set (base + overlay);
+            # unknown store shapes leave the C store empty and storage
+            # lines defer to Python per step (bit-identical path)
+            nodes = _smt_snapshot(ctx.hashdb, ctx.batch_uuid)
+            if nodes is not None and len(nodes):
+                keys = np.array([list(k) for k in nodes.keys()],
+                                dtype=np.uint64).reshape(-1)
+                vals = np.array([list(v) for v in nodes.values()],
+                                dtype=np.uint64).reshape(-1)
+                lib.nexec_smt_write(handle, keys.ctypes.data_as(u64p),
+                                    vals.ctypes.data_as(u64p), len(nodes))
+                smt_box["store"] = ctx.hashdb._store(ctx.batch_uuid)
+                smt_box["seen"] = len(smt_box["store"].overlay)
             rc = lib.nexec_run(handle, start_pc, stop_pc, self.max_steps)
             if not cb_error:
                 self._drain_hashes(lib, handle, ctx)
+                _smt_sync_from_native()
                 ctx.vars.refresh_from_block()
             if cb_error:
                 raise cb_error[0]

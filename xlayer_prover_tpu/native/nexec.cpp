@@ -61,6 +61,8 @@ enum {
     F_FN = 1u << 27,                          // native functionCall free-in
     F_EXPR = 1u << 28,                        // native expression free-in
     F_HASHA = 1u << 29,                       // native hashK/hashS append
+    F_SRD = 1u << 30,                         // native SMT read (sRD)
+    F_SWR = 1u << 31,                         // native SMT write (sWR)
 };
 
 // native functionCall ids (mirrored in executor/nexec.py)
@@ -115,6 +117,16 @@ struct EcCache {
     uint64_t x3[4], y3[4];
     int kind;             // 1 = add, 2 = dbl, 0 = empty
 };
+
+// ---- native SMT store (fast-path sRD/sWR) --------------------------------
+// Node map: Poseidon hash quad -> 12-limb node (data8 || capacity4), open
+// addressing.  Nodes written natively are also appended to a log the
+// Python side drains into its HashDB overlay (consolidation + py-line
+// reads); Python-written nodes are pushed back via nexec_smt_write.
+typedef int (*pose_fn_t)(uint64_t*);
+static pose_fn_t g_pose = 0;    // injected from libzkcrypto
+
+struct SmtSlot { uint64_t k[4]; uint64_t v[12]; uint8_t used; };
 
 struct Nexec {
     // decoded rom (borrowed numpy buffers; Python keeps them alive)
@@ -176,6 +188,14 @@ struct Nexec {
 
     step_cb_t cb;
     void* cb_user;
+
+    // native SMT store + new-node log
+    SmtSlot* smt;
+    uint64_t smt_slots;       // power of two (0 = native SMT off)
+    uint64_t smt_count;
+    uint64_t* smt_log;        // 16 u64 per entry: key4 + node12
+    uint64_t smt_log_len;     // entries
+    uint64_t smt_log_cap;
 };
 
 static MemEntry* mem_slot(Nexec* nx, uint64_t addr, int insert);
@@ -789,6 +809,364 @@ static int binary_op(uint8_t opcode, const uint64_t* a, const uint64_t* b,
     return 0;
 }
 
+// ---- native SMT (reference Smt::set/get semantics; state/smt.py port) ----
+
+static uint64_t smt_hash_mix(const uint64_t* k) {
+    uint64_t h = 0x9E3779B97F4A7C15ULL;
+    for (int i = 0; i < 4; i++) { h ^= k[i]; h *= 0xBF58476D1CE4E5B9ULL; h ^= h >> 29; }
+    return h;
+}
+
+static void smt_table_grow(Nexec* nx, uint64_t slots);
+
+static SmtSlot* smt_find(Nexec* nx, const uint64_t* key, int insert) {
+    if (!nx->smt_slots) {
+        if (!insert) return 0;
+        smt_table_grow(nx, 1 << 16);
+    }
+    if (insert && (nx->smt_count + 1) * 10 > nx->smt_slots * 7)
+        smt_table_grow(nx, nx->smt_slots * 2);
+    uint64_t mask = nx->smt_slots - 1;
+    uint64_t i = smt_hash_mix(key) & mask;
+    for (;;) {
+        SmtSlot* s = &nx->smt[i];
+        if (!s->used) {
+            if (!insert) return 0;
+            memcpy(s->k, key, 32);
+            s->used = 1;
+            nx->smt_count++;
+            return s;
+        }
+        if (memcmp(s->k, key, 32) == 0) return s;
+        i = (i + 1) & mask;
+    }
+}
+
+static void smt_table_grow(Nexec* nx, uint64_t slots) {
+    SmtSlot* old = nx->smt;
+    uint64_t old_slots = nx->smt_slots;
+    nx->smt = (SmtSlot*)calloc(slots, sizeof(SmtSlot));
+    nx->smt_slots = slots;
+    nx->smt_count = 0;
+    for (uint64_t i = 0; i < old_slots; i++)
+        if (old[i].used) {
+            SmtSlot* s = smt_find(nx, old[i].k, 1);
+            memcpy(s->v, old[i].v, 96);
+        }
+    free(old);
+}
+
+// save node (data8 || cap4): hash, store, log; returns hash quad in out4
+static void smt_save(Nexec* nx, const uint64_t* data8, const uint64_t* cap4,
+                     uint64_t* out4) {
+    uint64_t state[12];
+    memcpy(state, data8, 64);
+    memcpy(state + 8, cap4, 32);
+    uint64_t node[12];
+    memcpy(node, state, 96);
+    g_pose(state);
+    memcpy(out4, state, 32);
+    SmtSlot* s = smt_find(nx, out4, 1);
+    memcpy(s->v, node, 96);
+    if (nx->smt_log_len + 1 > nx->smt_log_cap) {
+        nx->smt_log_cap = nx->smt_log_cap ? nx->smt_log_cap * 2 : 1024;
+        nx->smt_log = (uint64_t*)realloc(
+            nx->smt_log, nx->smt_log_cap * 16 * sizeof(uint64_t));
+    }
+    uint64_t* rec = &nx->smt_log[nx->smt_log_len * 16];
+    memcpy(rec, out4, 32);
+    memcpy(rec + 4, node, 96);
+    nx->smt_log_len++;
+}
+
+static inline int smt_key_bit(const uint64_t* key, int i) {
+    return (key[i & 3] >> (i >> 2)) & 1;
+}
+
+static void smt_remove_key_bits(const uint64_t* key, int n, uint64_t* out) {
+    int full = n / 4, rem = n % 4;
+    for (int j = 0; j < 4; j++)
+        out[j] = key[j] >> (full + (j < rem ? 1 : 0));
+}
+
+// prepend path bits bits[0..n) (SMT order) onto rkey
+static void smt_join_key(const int* bits, int n, const uint64_t* rkey,
+                         uint64_t* out) {
+    uint64_t accs[4] = {0, 0, 0, 0};
+    int cnt[4] = {0, 0, 0, 0};
+    for (int i = 0; i < n; i++) {
+        if (bits[i]) accs[i % 4] |= 1ULL << (i / 4);
+        cnt[i % 4]++;
+    }
+    for (int j = 0; j < 4; j++)
+        out[j] = ((rkey[j] << cnt[j]) | accs[j]);
+}
+
+static const uint64_t SMT_ZERO4[4] = {0, 0, 0, 0};
+
+static int quad_zero(const uint64_t* q) {
+    return (q[0] | q[1] | q[2] | q[3]) == 0;
+}
+
+static int smt_unique_sibling(const uint64_t* node12) {
+    int n_found = 0, fnd = -1;
+    for (int i = 0; i < 3; i++)
+        if (!quad_zero(node12 + 4 * i)) { n_found++; fnd = i; }
+    return n_found == 1 ? fnd : -1;
+}
+
+// save leaf from 256-bit value words: value node + leaf node
+static void smt_save_leaf(Nexec* nx, const uint64_t* rkey,
+                          const uint64_t* vw, uint64_t* out4) {
+    uint64_t fea8[8];
+    for (int i = 0; i < 8; i++)
+        fea8[i] = (vw[i / 2] >> (32 * (i & 1))) & 0xFFFFFFFFULL;
+    uint64_t vh[4];
+    smt_save(nx, fea8, SMT_ZERO4, vh);
+    uint64_t leaf8[8];
+    memcpy(leaf8, rkey, 32);
+    memcpy(leaf8 + 4, vh, 32);
+    static const uint64_t CAP1[4] = {1, 0, 0, 0};
+    smt_save(nx, leaf8, CAP1, out4);
+}
+
+static void smt_save_leaf_vh(Nexec* nx, const uint64_t* rkey,
+                             const uint64_t* vh, uint64_t* out4) {
+    uint64_t leaf8[8];
+    memcpy(leaf8, rkey, 32);
+    memcpy(leaf8 + 4, vh, 32);
+    static const uint64_t CAP1[4] = {1, 0, 0, 0};
+    smt_save(nx, leaf8, CAP1, out4);
+}
+
+#define SMT_MAXLVL 260
+
+// get: value words + proof-hash counter; returns 0, or -1 on missing node
+static int smt_get(Nexec* nx, const uint64_t* root, const uint64_t* key,
+                   uint64_t* vw_out, uint64_t* phc_out) {
+    memset(vw_out, 0, 32);
+    uint64_t r[4];
+    memcpy(r, root, 32);
+    int level = 0, n_sib = 0;
+    while (!quad_zero(r)) {
+        SmtSlot* s = smt_find(nx, r, 0);
+        if (!s) return -1;
+        if (s->v[8] == 1) {       // leaf
+            uint64_t rem[4];
+            smt_remove_key_bits(key, level, rem);
+            *phc_out = (uint64_t)n_sib + 2;
+            if (memcmp(s->v, rem, 32) == 0) {
+                SmtSlot* vn = smt_find(nx, s->v + 4, 0);
+                if (!vn) return -1;
+                for (int i = 0; i < 4; i++)
+                    vw_out[i] = (vn->v[2 * i] & 0xFFFFFFFFULL)
+                        | (vn->v[2 * i + 1] << 32);
+            }
+            return 0;
+        }
+        n_sib++;
+        int side = smt_key_bit(key, level);
+        memcpy(r, s->v + side * 4, 32);
+        level++;
+    }
+    *phc_out = quad_zero(root) ? 0 : (uint64_t)n_sib;
+    return 0;
+}
+
+// set (full insert/update/delete/restructure semantics); returns 0 or -1
+// on a missing node (falls back to the Python path)
+static int smt_set(Nexec* nx, const uint64_t* old_root, const uint64_t* key,
+                   const uint64_t* vw, uint64_t* new_root,
+                   uint64_t* phc_out) {
+    uint64_t sib[SMT_MAXLVL][12];
+    int acc_bits[SMT_MAXLVL];
+    int n_acc = 0;
+    uint64_t r[4];
+    memcpy(r, old_root, 32);
+    int level = 0, found = 0, n_sib = 0;
+    uint64_t found_rkey[4] = {0}, found_vh[4] = {0}, found_vw[4] = {0};
+    uint64_t found_key[4] = {0};
+    int have_found_key = 0;
+
+    while (!quad_zero(r) && !found) {
+        if (level >= SMT_MAXLVL - 2) return -1;
+        SmtSlot* s = smt_find(nx, r, 0);
+        if (!s) return -1;
+        memcpy(sib[level], s->v, 96);
+        n_sib++;
+        if (s->v[8] == 1) {
+            found = 1;
+            memcpy(found_rkey, s->v, 32);
+            memcpy(found_vh, s->v + 4, 32);
+            SmtSlot* vn = smt_find(nx, found_vh, 0);
+            if (!vn) return -1;
+            for (int i = 0; i < 4; i++)
+                found_vw[i] = (vn->v[2 * i] & 0xFFFFFFFFULL)
+                    | (vn->v[2 * i + 1] << 32);
+            smt_join_key(acc_bits, n_acc, found_rkey, found_key);
+            have_found_key = 1;
+        } else {
+            int side = smt_key_bit(key, level);
+            memcpy(r, s->v + side * 4, 32);
+            acc_bits[n_acc++] = side;
+            level++;
+        }
+    }
+    level -= 1;
+    if (n_acc) n_acc--;
+
+    uint64_t phc = 0;
+    if (!quad_zero(old_root)) {
+        phc = (uint64_t)(n_sib < level + 1 ? n_sib : level + 1);
+        if (!quad_zero(found_vw)) phc += 2;
+    }
+    memcpy(new_root, old_root, 32);
+    int value_zero = quad_zero(vw);
+    int zero_to_zero = 0;
+
+    if (!value_zero) {
+        if (found && have_found_key && memcmp(found_key, key, 32) == 0) {
+            // update
+            uint64_t new_leaf[4];
+            smt_save_leaf(nx, found_rkey, vw, new_leaf);
+            phc += 2;
+            if (level >= 0)
+                memcpy(sib[level] + smt_key_bit(key, level) * 4, new_leaf,
+                       32);
+            else
+                memcpy(new_root, new_leaf, 32);
+        } else if (found) {
+            // insertFound: split at the first differing bit
+            int level2 = level + 1;
+            while (smt_key_bit(key, level2)
+                   == smt_key_bit(found_key, level2)) {
+                level2++;
+                if (level2 >= SMT_MAXLVL - 2) return -1;
+            }
+            uint64_t rem_old[4], rem_new[4];
+            smt_remove_key_bits(found_key, level2 + 1, rem_old);
+            uint64_t old_leaf[4];
+            smt_save_leaf_vh(nx, rem_old, found_vh, old_leaf);
+            smt_remove_key_bits(key, level2 + 1, rem_new);
+            uint64_t new_leaf[4];
+            smt_save_leaf(nx, rem_new, vw, new_leaf);
+            uint64_t node8[8] = {0};
+            memcpy(node8 + smt_key_bit(key, level2) * 4, new_leaf, 32);
+            memcpy(node8 + smt_key_bit(found_key, level2) * 4, old_leaf,
+                   32);
+            uint64_t r2[4];
+            smt_save(nx, node8, SMT_ZERO4, r2);
+            phc += 4;
+            level2--;
+            while (level2 != level) {
+                uint64_t n8[8] = {0};
+                memcpy(n8 + smt_key_bit(key, level2) * 4, r2, 32);
+                smt_save(nx, n8, SMT_ZERO4, r2);
+                phc += 1;
+                level2--;
+            }
+            if (level >= 0)
+                memcpy(sib[level] + smt_key_bit(key, level) * 4, r2, 32);
+            else
+                memcpy(new_root, r2, 32);
+        } else {
+            // insertNotFound
+            uint64_t rem[4];
+            smt_remove_key_bits(key, level + 1, rem);
+            uint64_t new_leaf[4];
+            smt_save_leaf(nx, rem, vw, new_leaf);
+            phc += 2;
+            if (level >= 0)
+                memcpy(sib[level] + smt_key_bit(key, level) * 4, new_leaf,
+                       32);
+            else
+                memcpy(new_root, new_leaf, 32);
+        }
+    } else {
+        if (found && have_found_key && memcmp(found_key, key, 32) == 0) {
+            if (level >= 0) {
+                memset(sib[level] + smt_key_bit(key, level) * 4, 0, 32);
+                int u_key = smt_unique_sibling(sib[level]);
+                int delete_found = 0;
+                if (u_key >= 0) {
+                    uint64_t sh[4];
+                    memcpy(sh, sib[level] + u_key * 4, 32);
+                    SmtSlot* sn = smt_find(nx, sh, 0);
+                    if (!sn) return -1;
+                    memcpy(sib[level + 1], sn->v, 96);
+                    if (sn->v[8] == 1) {
+                        delete_found = 1;
+                        uint64_t vh[4];
+                        memcpy(vh, sn->v + 4, 32);
+                        phc += 2;
+                        uint64_t ins_key[4];
+                        acc_bits[n_acc] = u_key;
+                        smt_join_key(acc_bits, n_acc + 1, sn->v, ins_key);
+                        while (u_key >= 0 && level >= 0) {
+                            level -= 1;
+                            if (level >= 0)
+                                u_key = smt_unique_sibling(sib[level]);
+                        }
+                        uint64_t rem[4];
+                        smt_remove_key_bits(ins_key, level + 1, rem);
+                        uint64_t old_leaf[4];
+                        smt_save_leaf_vh(nx, rem, vh, old_leaf);
+                        phc += 1;
+                        if (level >= 0)
+                            memcpy(sib[level]
+                                   + smt_key_bit(key, level) * 4,
+                                   old_leaf, 32);
+                        else
+                            memcpy(new_root, old_leaf, 32);
+                    }
+                }
+                if (!delete_found) {
+                    // deleteNotFound: one sibling-child probe for parity
+                    int sibling_side = smt_key_bit(key, level) ? 0 : 1;
+                    uint64_t sh[4];
+                    memcpy(sh, sib[level] + sibling_side * 4, 32);
+                    if (!quad_zero(sh) && !smt_find(nx, sh, 0)) return -1;
+                    phc += 1;
+                }
+            } else {
+                memcpy(new_root, SMT_ZERO4, 32);
+            }
+        } else {
+            zero_to_zero = 1;
+        }
+    }
+
+    // go up re-hashing
+    while (level >= 0) {
+        smt_save(nx, sib[level], sib[level] + 8, new_root);
+        if (!zero_to_zero) phc += 1;
+        level -= 1;
+        if (level >= 0)
+            memcpy(sib[level] + smt_key_bit(key, level) * 4, new_root, 32);
+    }
+    *phc_out = phc;
+    return 0;
+}
+
+void nexec_set_poseidon(void* fn) { g_pose = (pose_fn_t)fn; }
+
+void nexec_smt_write(void* h, const uint64_t* keys, const uint64_t* vals,
+                     uint64_t n) {
+    Nexec* nx = (Nexec*)h;
+    for (uint64_t i = 0; i < n; i++) {
+        SmtSlot* s = smt_find(nx, keys + i * 4, 1);
+        memcpy(s->v, vals + i * 12, 96);
+    }
+}
+
+uint64_t nexec_smt_log_len(void* h) { return ((Nexec*)h)->smt_log_len; }
+
+void nexec_smt_drain(void* h, uint64_t* out) {
+    Nexec* nx = (Nexec*)h;
+    memcpy(out, nx->smt_log, nx->smt_log_len * 16 * sizeof(uint64_t));
+    nx->smt_log_len = 0;
+}
+
 // ---- public API ---------------------------------------------------------
 void* nexec_new(uint64_t n_lines, const uint32_t* flags, const uint32_t* sets,
                 const uint32_t* in_used, const uint64_t* in_coeffs,
@@ -817,6 +1195,8 @@ void nexec_free(void* h) {
     free(nx->mem);
     free(nx->batch_data);
     free(nx->hlog);
+    free(nx->smt);
+    free(nx->smt_log);
     free(nx);
 }
 
@@ -891,6 +1271,7 @@ enum {
     NX_ERR_MEM = -3, NX_ERR_BINARY = -4, NX_ERR_ARITH = -5,
     NX_ERR_FEA = -6, NX_ERR_JMPN = -7, NX_ERR_CB = -8, NX_ERR_ADDR = -9,
     NX_ERR_OOC_BINARY = -10, NX_ERR_OOC_ARITH = -11,
+    NX_ERR_OOC_POSG = -12,
 };
 
 // run until stop_pc or max_steps; returns NX_DONE or error
@@ -1027,7 +1408,65 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
         // free input (defaults only on native lines)
         uint64_t fi[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         int have_fi = 0;
-        if (fl & F_FREE_DEFAULT) {
+        uint64_t swr_sr[8];
+        int have_swr = 0;
+        if (fl & (F_SRD | F_SWR)) {
+            // native SMT walk (reference pHashDB->get/set inside the Main
+            // SM step, main_executor.cpp:282); any missing precondition
+            // defers the line to the bit-identical Python path
+            int ok = g_pose && nx->smt_slots && fea_ok(&st[S_SR]);
+            uint64_t key4[4], old_root[4], phc = 0;
+            if (ok) {
+                uint64_t kin[12];
+                for (int i = 0; i < 8; i++) kin[i] = st[S_C + i];
+                for (int i = 8; i < 12; i++) kin[i] = 0;
+                g_pose(kin);                     // cap = H(C || 0000)
+                uint64_t kin1[12];
+                for (int i = 0; i < 6; i++) kin1[i] = st[S_A + i];
+                kin1[6] = st[S_B];
+                kin1[7] = st[S_B + 1];
+                memcpy(kin1 + 8, kin, 32);
+                g_pose(kin1);                    // key = H(A,B || cap)
+                memcpy(key4, kin1, 32);
+                for (int j = 0; j < 4; j++)
+                    old_root[j] = st[S_SR + 2 * j]
+                        | (st[S_SR + 2 * j + 1] << 32);
+            }
+            if (ok && (fl & F_SRD)) {
+                uint64_t vw[4];
+                ok = smt_get(nx, old_root, key4, vw, &phc) == 0;
+                if (ok) {
+                    have_fi = 1;
+                    for (int i = 0; i < 8; i++)
+                        fi[i] = (vw[i / 2] >> (32 * (i & 1)))
+                            & 0xFFFFFFFFULL;
+                }
+            } else if (ok) {
+                uint64_t vw[4], nr[4];
+                ok = fea_ok(&st[S_D]);
+                if (ok) {
+                    fea_to_words(&st[S_D], vw);
+                    ok = smt_set(nx, old_root, key4, vw, nr, &phc) == 0;
+                }
+                if (ok) {
+                    have_fi = 1;
+                    for (int j = 0; j < 4; j++) {
+                        fi[2 * j] = nr[j] & 0xFFFFFFFFULL;
+                        fi[2 * j + 1] = nr[j] >> 32;
+                    }
+                    memcpy(swr_sr, fi, 64);
+                    have_swr = 1;
+                }
+            }
+            if (!ok) {
+                int rc = nx->cb(nx->cb_user, zkpc, step);
+                if (rc != 0) return NX_ERR_CB;
+                continue;
+            }
+            st[S_CNT_POSG] += phc + 2;
+            if (st[S_LIM_POSG] && st[S_CNT_POSG] > st[S_LIM_POSG])
+                return NX_ERR_OOC_POSG;
+        } else if (fl & F_FREE_DEFAULT) {
             have_fi = 1;
             if ((fl & F_MOP) && !(fl & F_MWR)) {
                 MemEntry* e = mem_slot(nx, addr, 0);
@@ -1323,6 +1762,11 @@ int nexec_run(void* h, uint64_t start_pc, int64_t stop_pc,
         }
 
         // setters
+        if (have_swr) {
+            // sWR writes the new root into SR before setters apply
+            // (main_sm._do_storage sets regs.SR, then setters overwrite)
+            memcpy(&st[S_SR], swr_sr, 64);
+        }
         uint32_t sets = nx->sets[zkpc];
         if (sets & SET_A) memcpy(&st[S_A], op, 64);
         if (sets & SET_B) memcpy(&st[S_B], op, 64);
