@@ -96,10 +96,32 @@ import os as _os
 _BACKEND = _os.environ.get("XLAYER_POSEIDON_BACKEND", "auto")
 
 
+@functools.lru_cache(maxsize=None)
+def _silicon_winner() -> str:
+    """Fastest measured permutation backend from the last on-silicon
+    shootout (bench.py writes poseidon_perm_*_Mhz into BENCH_LAST.json);
+    defaults to small_lazy when no measurement exists."""
+    import json as _json
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), "BENCH_LAST.json")
+    try:
+        with open(path) as f:
+            data = _json.load(f)
+        rates = {"small_lazy": data.get("poseidon_perm_lazy_Mhz", 0),
+                 "small_lazy_mxu": data.get("poseidon_perm_lazy_mxu_Mhz",
+                                            0)}
+        best = max(rates, key=rates.get)
+        if rates[best] > 0:
+            return best
+    except Exception:  # noqa: BLE001 - no measurement yet
+        pass
+    return "small_lazy"
+
+
 def _resolve_backend() -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    return "u64" if jax.default_backend() == "cpu" else "small_lazy"
+    return "u64" if jax.default_backend() == "cpu" else _silicon_winner()
 
 
 def permute(state):
