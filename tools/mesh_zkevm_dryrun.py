@@ -24,8 +24,10 @@ def main():
         "XLA_FLAGS",
         f"--xla_force_host_platform_device_count={n_devices}")
     import jax
-    if jax.device_count() < n_devices:
-        jax.config.update("jax_platforms", "cpu")
+    # MUST run before any device query: the first backend touch pins the
+    # platform (a later switch silently keeps e.g. the axon TPU plugin)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.device_count() >= n_devices
 
     from xlayer_prover_tpu.executor.input import BatchInput
     from xlayer_prover_tpu.executor.rom import Rom
