@@ -23,10 +23,17 @@ def main():
     os.environ.setdefault(
         "XLA_FLAGS",
         f"--xla_force_host_platform_device_count={n_devices}")
+    # jitted rounds under the mesh: eager SPMD ops enter collectives
+    # per-thread and trip XLA's 40 s CPU rendezvous abort on busy hosts
+    os.environ.setdefault("XLAYER_PROVER_JIT_ROUNDS", "1")
     import jax
     # MUST run before any device query: the first backend touch pins the
     # platform (a later switch silently keeps e.g. the axon TPU plugin)
     jax.config.update("jax_platforms", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert jax.device_count() >= n_devices
 
     from xlayer_prover_tpu.executor.input import BatchInput

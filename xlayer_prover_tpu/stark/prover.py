@@ -273,27 +273,28 @@ def get_air_jits(air):
             bad_total = bad_total + bad
         return cm2, bad_total
 
-    def round3(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
-        env = EvalEnv({"const": const_n, "cm1": cm1_n, "cm2": cm2_n},
-                      _challenges_env(ch), _pubs(publics), x_n, l1_n, 1)
+    # Round 3 runs as an ORCHESTRATOR of medium-sized graphs instead of
+    # one monolith: tracing every z-scan + im fill into a single jit
+    # produced an ~8 MB MLIR module that OOM-killed the remote TPU
+    # compiler.  Shapes are shared, so the z scan compiles ONCE; each
+    # num/den evaluation is its own small graph (compiled lazily, cached
+    # persistently); the column assembly is one dynamic-update-slice
+    # graph.  Dispatch count stays O(#z-columns), not O(#ops).
+    def _mk_env(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+        return EvalEnv({"const": const_n, "cm1": cm1_n, "cm2": cm2_n},
+                       _challenges_env(ch), _pubs(publics), x_n, l1_n, 1)
+
+    def _zscan(num_v, den_v):
+        ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
+        return _exclusive_prefix_product(ratios)
+
+    def _numden_builder():
         gamma = air_mod.Challenge(CH_GAMMA)
         beta = air_mod.Challenge(CH_BETA)
         one_plus_beta = beta + 1
         gb = gamma * one_plus_beta
-
-        cm3 = gl.zeros((n, air.cm3_width))
-
-        def z_set(cm3, zcol, num_v, den_v):
-            ratios = gl3.mul(num_v, gl3.batch_inv(den_v))
-            z = _exclusive_prefix_product(ratios)
-            return _set_cols(cm3, zcol.index, z)
-
-        for (col, expr) in air.im_defs:
-            k, v = env.eval(expr)
-            triple = gl3.from_base(v) if k == "base" else v
-            triple = tuple(jnp.broadcast_to(jnp.asarray(c), (n,))
-                           for c in triple)
-            cm3 = _set_cols(cm3, col.index, triple)
+        jobs = []        # (z_col, num_expr, den_expr)
+        conn_jobs = []   # (ci, num_factors, den_factors)
         for pu in air.plookups:
             f, t = pu.f_exp, pu.t_exp
             h1c, h2c = pu.h1_col, pu.h2_col
@@ -301,10 +302,9 @@ def get_air_jits(air):
                 * (gb + t + beta * air_mod._shift_expr(t))
             den = (gb + h1c + beta * h2c) \
                 * (gb + h2c + beta * h1c.shifted())
-            cm3 = z_set(cm3, pu.z_col, env.eval_ext(num), env.eval_ext(den))
+            jobs.append((pu.z_col, num, den))
         for pe in air.permutations:
-            cm3 = z_set(cm3, pe.z_col, env.eval_ext(pe.f_exp + gamma),
-                        env.eval_ext(pe.t_exp + gamma))
+            jobs.append((pe.z_col, pe.f_exp + gamma, pe.t_exp + gamma))
         for ci in air.connections:
             xx = air_mod.XSymbol()
             num_factors = [c + beta * k * xx + gamma
@@ -317,9 +317,52 @@ def get_air_jits(air):
                 for fn_, fd in zip(num_factors, den_factors):
                     num = num * fn_
                     den = den * fd
-                cm3 = z_set(cm3, ci.z_col, env.eval_ext(num),
-                            env.eval_ext(den))
+                jobs.append((ci.z_col, num, den))
             else:
+                conn_jobs.append((ci, num_factors, den_factors))
+        return jobs, conn_jobs
+
+    _r3 = {"built": False}
+
+    def _broad3(triple):
+        return tuple(jnp.broadcast_to(jnp.asarray(c), (n,))
+                     for c in triple)
+
+    def _r3_build():
+        jobs, conn_jobs = _numden_builder()
+        maybe_jit = jax.jit if _use_jit_pipelines() else (lambda f: f)
+        _r3["zscan"] = maybe_jit(_zscan)
+        _r3["z_idx"] = [zcol.index for (zcol, _n, _d) in jobs]
+
+        def mk_numden(num_e, den_e):
+            def f(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+                env = _mk_env(const_n, cm1_n, cm2_n, ch, publics,
+                              x_n, l1_n)
+                return (jnp.stack(env.eval_ext(num_e)),
+                        jnp.stack(env.eval_ext(den_e)))
+            return maybe_jit(f)
+        _r3["numden"] = [mk_numden(num_e, den_e)
+                         for (_z, num_e, den_e) in jobs]
+
+        # static index maps for the ims graph outputs
+        im_idx = [col.index for (col, _e) in air.im_defs]
+        for (ci, _nf, _df) in conn_jobs:
+            for ims in (ci.num_ims, ci.den_ims):
+                im_idx.extend(im.index for im in ims)
+        conn_z_idx = [ci.z_col.index for (ci, _nf, _df) in conn_jobs]
+        _r3["im_idx"] = im_idx
+        _r3["conn_z_idx"] = conn_z_idx
+
+        def ims_fn(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+            """-> (im triples in im_idx order, conn (num, den) pairs)."""
+            env = _mk_env(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
+            im_out = []
+            for (_col, expr) in air.im_defs:
+                k, v = env.eval(expr)
+                triple = gl3.from_base(v) if k == "base" else v
+                im_out.append(_broad3(triple))
+            conn_nd = []
+            for (ci, num_factors, den_factors) in conn_jobs:
                 groups = ci.factor_groups()
                 finals = []
                 for ims, factors in ((ci.num_ims, num_factors),
@@ -331,11 +374,40 @@ def get_air_jits(air):
                         for fi in grp:
                             prod = vals[fi] if prod is None \
                                 else gl3.mul(prod, vals[fi])
-                        cm3 = _set_cols(cm3, ims[gi].index, prod)
+                        im_out.append(_broad3(prod))
                         prev = prod
                     finals.append(prev)
-                cm3 = z_set(cm3, ci.z_col, finals[0], finals[1])
-        return cm3
+                conn_nd.append((finals[0], finals[1]))
+            return im_out, conn_nd
+        _r3["ims"] = maybe_jit(ims_fn) \
+            if (air.im_defs or conn_jobs) else None
+
+        all_idx = _r3["z_idx"] + im_idx + conn_z_idx
+
+        def assemble(triples):
+            cm3 = gl.zeros((n, air.cm3_width))
+            for idx, t in zip(all_idx, triples):
+                cm3 = _set_cols(cm3, idx, t)
+            return cm3
+        _r3["assemble"] = maybe_jit(assemble)
+        _r3["built"] = True
+
+    def round3(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+        if not _r3["built"]:
+            _r3_build()
+        args = (const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
+        zscan = _r3["zscan"]
+        triples = []
+        for fn in _r3["numden"]:
+            num_s, den_s = fn(*args)
+            triples.append(zscan(tuple(num_s[k] for k in range(3)),
+                                 tuple(den_s[k] for k in range(3))))
+        if _r3["ims"] is not None:
+            im_out, conn_nd = _r3["ims"](*args)
+            triples.extend(tuple(t) for t in im_out)
+            for (num_v, den_v) in conn_nd:
+                triples.append(zscan(tuple(num_v), tuple(den_v)))
+        return _r3["assemble"](triples)
 
     def quotient(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext,
                  zi_ext):
@@ -750,6 +822,11 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
 
 
 def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
+    """See gen_proof.  NOTE for CPU meshes: prefer
+    XLAYER_PROVER_JIT_ROUNDS=1 — eager SPMD ops enter their collectives
+    independently per device thread, and XLA's CPU rendezvous hard-aborts
+    the process when one thread is descheduled >40 s; inside a jitted
+    executable all partitions reach the collective in lockstep."""
     """The sharded prover: every device stage runs under the mesh with the
     row axis partitioned — natural-domain sections included, so round-2/3
     expression evaluation runs SPMD (jnp.roll shifts become ICI permutes).
