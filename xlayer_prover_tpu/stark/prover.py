@@ -257,21 +257,53 @@ def get_air_jits(air):
     def _pubs(publics):
         return [publics[i] for i in range(air.n_publics)]
 
-    def round2(const_n, cm1_n, ch, publics, x_n, l1_n):
-        env = EvalEnv({"const": const_n, "cm1": cm1_n},
-                      _challenges_env(ch), _pubs(publics), x_n, l1_n, 1)
-        cm2 = gl.zeros((n, air.cm2_width))
-        bad_total = jnp.uint64(0)
+    # Round 2 also runs as an orchestrator of small graphs: one f/t
+    # evaluation graph per plookup, ONE shared sort-split graph (same
+    # shapes across lookups -> one compile), one assembly graph.  The
+    # single-graph version was an ~8 MB MLIR module that OOM-killed the
+    # remote TPU compiler.
+    _r2 = {"built": False}
+
+    def _r2_build():
+        maybe_jit = jax.jit if _use_jit_pipelines() else (lambda f: f)
+        _r2["split"] = maybe_jit(lookup.calculate_h1h2_device)
+
+        def mk_ft(pu):
+            def f(const_n, cm1_n, ch, publics, x_n, l1_n):
+                env = EvalEnv({"const": const_n, "cm1": cm1_n},
+                              _challenges_env(ch), _pubs(publics), x_n,
+                              l1_n, 1)
+                return (jnp.stack(env.eval_ext(pu.f_exp), axis=1),
+                        jnp.stack(env.eval_ext(pu.t_exp), axis=1))
+            return maybe_jit(f)
+        _r2["ft"] = [mk_ft(pu) for pu in air.plookups]
+        idx = []
         for pu in air.plookups:
-            f_dev = jnp.stack(env.eval_ext(pu.f_exp), axis=1)
-            t_dev = jnp.stack(env.eval_ext(pu.t_exp), axis=1)
-            h1, h2, bad = lookup.calculate_h1h2_device(f_dev, t_dev)
-            cm2 = _set_cols(cm2, pu.h1_col.index,
-                            tuple(h1[:, k] for k in range(3)))
-            cm2 = _set_cols(cm2, pu.h2_col.index,
-                            tuple(h2[:, k] for k in range(3)))
-            bad_total = bad_total + bad
-        return cm2, bad_total
+            idx.append((pu.h1_col.index, pu.h2_col.index))
+        _r2["idx"] = idx
+
+        def assemble(pairs):
+            cm2 = gl.zeros((n, air.cm2_width))
+            bad_total = jnp.uint64(0)
+            for (i1, i2), (h1, h2, bad) in zip(idx, pairs):
+                cm2 = _set_cols(cm2, i1, tuple(h1[:, k] for k in range(3)))
+                cm2 = _set_cols(cm2, i2, tuple(h2[:, k] for k in range(3)))
+                bad_total = bad_total + bad
+            return cm2, bad_total
+        _r2["assemble"] = maybe_jit(assemble)
+        _r2["built"] = True
+
+    def round2(const_n, cm1_n, ch, publics, x_n, l1_n):
+        if not _r2["built"]:
+            _r2_build()
+        args = (const_n, cm1_n, ch, publics, x_n, l1_n)
+        pairs = []
+        for fn in _r2["ft"]:
+            f_dev, t_dev = fn(*args)
+            pairs.append(_r2["split"](f_dev, t_dev))
+        if not pairs:
+            return gl.zeros((n, air.cm2_width)), jnp.uint64(0)
+        return _r2["assemble"](pairs)
 
     # Round 3 runs as an ORCHESTRATOR of medium-sized graphs instead of
     # one monolith: tracing every z-scan + im fill into a single jit
@@ -488,8 +520,11 @@ def get_air_jits(air):
             v2_pow = gl3.mul(v2_pow, v2)
         return evals_arr, fri_pol
 
+    # round2/round3 are orchestrators managing their own (small) jits —
+    # wrapping them in jax.jit would inline everything back into the
+    # monolithic graphs that OOM-kill the remote compiler
     if _use_jit_pipelines():
-        jits = {"round2": jax.jit(round2), "round3": jax.jit(round3),
+        jits = {"round2": round2, "round3": round3,
                 "quotient": jax.jit(quotient), "round5": jax.jit(round5)}
     else:
         jits = {"round2": round2, "round3": round3,
