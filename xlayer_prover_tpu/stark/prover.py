@@ -273,8 +273,8 @@ def get_air_jits(air):
                 env = EvalEnv({"const": const_n, "cm1": cm1_n},
                               _challenges_env(ch), _pubs(publics), x_n,
                               l1_n, 1)
-                return (jnp.stack(env.eval_ext(pu.f_exp), axis=1),
-                        jnp.stack(env.eval_ext(pu.t_exp), axis=1))
+                return (jnp.stack(_broad3(env.eval_ext(pu.f_exp)), axis=1),
+                        jnp.stack(_broad3(env.eval_ext(pu.t_exp)), axis=1))
             return maybe_jit(f)
         _r2["ft"] = [mk_ft(pu) for pu in air.plookups]
         idx = []
@@ -370,8 +370,8 @@ def get_air_jits(air):
             def f(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
                 env = _mk_env(const_n, cm1_n, cm2_n, ch, publics,
                               x_n, l1_n)
-                return (jnp.stack(env.eval_ext(num_e)),
-                        jnp.stack(env.eval_ext(den_e)))
+                return (jnp.stack(_broad3(env.eval_ext(num_e))),
+                        jnp.stack(_broad3(env.eval_ext(den_e))))
             return maybe_jit(f)
         _r3["numden"] = [mk_numden(num_e, den_e)
                          for (_z, num_e, den_e) in jobs]
@@ -424,11 +424,11 @@ def get_air_jits(air):
         _r3["assemble"] = maybe_jit(assemble)
         _r3["built"] = True
 
-    def round3(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+    def round3(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n, zscan=None):
         if not _r3["built"]:
             _r3_build()
         args = (const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
-        zscan = _r3["zscan"]
+        zscan = zscan if zscan is not None else _r3["zscan"]
         triples = []
         for fn in _r3["numden"]:
             num_s, den_s = fn(*args)
@@ -896,10 +896,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
     l1_n = shard1(_l1_values_n(n))
     l1_ext = shard1(_l1_values_ext(air))
     zi_ext = shard1(_zi_values_ext(air))
-    publics_dev = [gl.full((), p) for p in publics]
     challenges = {}
-
-    h1h2_dev = jax.jit(lookup.calculate_h1h2_device)
 
     with mesh:
         t_stage = timer("stark.mesh_r1", log=True)
@@ -917,24 +914,19 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_r2", log=True)
         t_stage.__enter__()
-        # ---- round 2: device multiset split under the mesh -------------
+        # ---- round 2: the per-lookup orchestrator under the mesh --------
         challenges[CH_U] = _challenge_triple(transcript)
         challenges[CH_DEFVAL] = _challenge_triple(transcript)
-        env = EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
-        cm2_n = shard(gl.zeros((n, air.cm2_width)))
-        bad_total = None
-        for pu in air.plookups:
-            f_dev = jnp.stack(env.eval_ext(pu.f_exp), axis=1)
-            t_dev = jnp.stack(env.eval_ext(pu.t_exp), axis=1)
-            h1, h2, bad = h1h2_dev(shard(f_dev), shard(t_dev))
-            cm2_n = _set_cols(cm2_n, pu.h1_col.index,
-                              tuple(h1[:, k] for k in range(3)))
-            cm2_n = _set_cols(cm2_n, pu.h2_col.index,
-                              tuple(h2[:, k] for k in range(3)))
-            bad_total = bad if bad_total is None else bad_total + bad
-        if bad_total is not None:
+        jits = get_air_jits(air)
+        publics_arr = gl.from_u64_np(np.array(publics + [0],
+                                              dtype=np.uint64))
+        cm2_n, bad_total = jits["round2"](
+            sections_n["const"], cm1_n, _challenges_array(challenges),
+            publics_arr, x_n, l1_n)
+        if air.plookups:
             assert int(bad_total) == 0, \
                 "plookup: f contains values missing from t"
+        cm2_n = shard(cm2_n)
         cm2_ext = par.lde_sharded(cm2_n, air.n_bits_ext, mesh) \
             if air.cm2_width else gl.zeros((n_ext, 0))
         tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
@@ -946,75 +938,22 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_r3", log=True)
         t_stage.__enter__()
-        # ---- round 3: distributed grand-product scans ------------------
+        # ---- round 3: the orchestrator with the shard_map scan ----------
         challenges[CH_GAMMA] = _challenge_triple(transcript)
         challenges[CH_BETA] = _challenge_triple(transcript)
-        env = EvalEnv(sections_n, challenges, publics_dev, x_n, l1_n, 1)
-        gamma = air_mod.Challenge(CH_GAMMA)
-        beta = air_mod.Challenge(CH_BETA)
-        one_plus_beta = beta + 1
-        gb = gamma * one_plus_beta
         gp = jax.jit(par.build_grand_product_sharded(mesh))
-        tri_shard = tuple(row1 for _ in range(3))
 
-        def bshard(c):
-            c = jnp.asarray(c, dtype=jnp.uint64)
-            if c.ndim == 0:
-                c = jnp.broadcast_to(c, (n,))
-            return jax.device_put(c, row1)
-
-        def z_of(num_e, den_e):
-            num_v = tuple(bshard(c) for c in env.eval_ext(num_e))
-            den_v = tuple(bshard(c) for c in env.eval_ext(den_e))
+        def mesh_zscan(num_v, den_v):
+            num_v = tuple(jax.device_put(jnp.asarray(c, jnp.uint64), row1)
+                          for c in num_v)
+            den_v = tuple(jax.device_put(jnp.asarray(c, jnp.uint64), row1)
+                          for c in den_v)
             return gp(num_v, den_v)
 
-        cm3_n = shard(gl.zeros((n, air.cm3_width)))
-        for (col, expr) in air.im_defs:
-            cm3_n = _set_cols(cm3_n, col.index,
-                              tuple(bshard(c)
-                                    for c in env.eval_ext(expr)))
-        for pu in air.plookups:
-            f, t = pu.f_exp, pu.t_exp
-            h1c, h2c = pu.h1_col, pu.h2_col
-            num = one_plus_beta * (gamma + f) \
-                * (gb + t + beta * air_mod._shift_expr(t))
-            den = (gb + h1c + beta * h2c) * (gb + h2c + beta * h1c.shifted())
-            cm3_n = _set_cols(cm3_n, pu.z_col.index, z_of(num, den))
-        for pe in air.permutations:
-            cm3_n = _set_cols(cm3_n, pe.z_col.index,
-                              z_of(pe.f_exp + gamma, pe.t_exp + gamma))
-        for ci in air.connections:
-            xx = air_mod.XSymbol()
-            num_factors = [c + beta * k * xx + gamma
-                           for c, k in zip(ci.cols, ci.k_coeffs)]
-            den_factors = [c + beta * sc + gamma
-                           for c, sc in zip(ci.cols, ci.s_cols)]
-            if not ci.num_ims:
-                num = air_mod.Const(1)
-                den = air_mod.Const(1)
-                for fn_, fd in zip(num_factors, den_factors):
-                    num = num * fn_
-                    den = den * fd
-                cm3_n = _set_cols(cm3_n, ci.z_col.index, z_of(num, den))
-            else:
-                groups = ci.factor_groups()
-                finals = []
-                for ims, factors in ((ci.num_ims, num_factors),
-                                     (ci.den_ims, den_factors)):
-                    vals = [env.eval_ext(f_) for f_ in factors]
-                    prev = None
-                    for gi, grp in enumerate(groups):
-                        prod = prev
-                        for fi in grp:
-                            prod = vals[fi] if prod is None \
-                                else gl3.mul(prod, vals[fi])
-                        cm3_n = _set_cols(cm3_n, ims[gi].index,
-                                          tuple(bshard(c) for c in prod))
-                        prev = prod
-                    finals.append(prev)
-                z = gp(tuple(bshard(c) for c in finals[0]),
-                       tuple(bshard(c) for c in finals[1]))
-                cm3_n = _set_cols(cm3_n, ci.z_col.index, z)
+        cm3_n = shard(jits["round3"](
+            sections_n["const"], cm1_n, cm2_n,
+            _challenges_array(challenges), publics_arr, x_n, l1_n,
+            zscan=mesh_zscan))
         cm3_ext = par.lde_sharded(cm3_n, air.n_bits_ext, mesh) \
             if air.cm3_width else gl.zeros((n_ext, 0))
         tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
