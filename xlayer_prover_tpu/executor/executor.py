@@ -46,7 +46,9 @@ class Executor:
         self.rom = rom
         self.start_label = start_label
         self.stop_label = stop_label
+        self.max_steps = max_steps
         self.main = MainExecutor(rom, max_steps=max_steps)
+        self._native = None          # lazy NativeMainExecutor (fast path)
         self.air, self.layout = zkevm_air.build(
             rom, n_bits=n_bits, chunk_bits=chunk_bits, limb_bits=limb_bits,
             n_queries=n_queries, start_label=start_label,
@@ -56,6 +58,28 @@ class Executor:
     def functions(self) -> Dict[str, Callable]:
         return self.main.functions
 
+    def _native_main(self):
+        """Lazy native fast-path core (reference main_exec_generated_fast
+        selection, executor.cpp:498-507); None when libnexec is absent."""
+        if self._native is False:
+            return None
+        if self._native is None:
+            try:
+                from .nexec import NativeMainExecutor, available
+                if not available():
+                    self._native = False
+                    return None
+                nat = NativeMainExecutor(self.rom, max_steps=self.max_steps)
+                # share the Python interpreter (and its registered
+                # function table) for deferred lines
+                nat.py = self.main
+                nat.functions = self.main.functions
+                self._native = nat
+            except Exception:  # noqa: BLE001 - fall back to Python
+                self._native = False
+                return None
+        return self._native
+
     def process_batch(self, hashdb: HashDB, batch_uuid: str = "batch",
                       input_vars: Optional[dict] = None,
                       trace: bool = False) -> Context:
@@ -63,8 +87,9 @@ class Executor:
         ctx = Context(self.rom, hashdb, batch_uuid, input_vars)
         if trace:
             ctx.trace = []
+        engine = self.main if trace else (self._native_main() or self.main)
         with timer("executor.process_batch", log=False):
-            self.main.execute(ctx, self.start_label, self.stop_label)
+            engine.execute(ctx, self.start_label, self.stop_label)
         return ctx
 
     def execute(self, hashdb: HashDB, batch_uuid: str = "batch",
