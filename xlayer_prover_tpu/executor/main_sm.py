@@ -239,6 +239,10 @@ class Context:
         self.trace: Optional[list] = None
         self._hash_bytes = 0
         self.full_tracer = None       # executor/full_tracer.py when tracing
+        # ECRecoverPrecalc memo (executor/ec_precalc.py): filled at the
+        # ecrecover_store_args label, cleared at ecrecover_end
+        self.ec_memo = None
+        self.ec_memo_hits = 0
 
 
 def _bump(ctx: "Context", name: str, amount: int = 1):
@@ -282,12 +286,18 @@ _BINOP_LAMBDAS = {
 class MainExecutor:
     """The machine. `functions` is the freeInTag function-call registry."""
 
-    def __init__(self, rom: Rom, max_steps: int = 1 << 23):
+    def __init__(self, rom: Rom, max_steps: int = 1 << 23,
+                 ecrecover_precalc: bool = True):
         self.rom = rom
         self.max_steps = max_steps
         self.functions: Dict[str, Callable] = {}
         self._enc_cache: Dict[int, dict] = {}
         self._cmd_cache: Dict[int, Callable] = {}
+        # ECRecoverPrecalc hook points (reference main_executor.cpp:341-363);
+        # absent in toy/older ROMs -> hooks disabled
+        self._ec_store_pc = (rom.labels.get("ecrecover_store_args")
+                             if ecrecover_precalc else None)
+        self._ec_end_pc = rom.labels.get("ecrecover_end")
 
     # ------------------------------------------------------------------
     # command-tree compilation: each ROM command tree compiles once into
@@ -489,6 +499,16 @@ class MainExecutor:
             if stop_pc is not None and regs.zkPC == stop_pc:
                 ctx.done = True
                 break
+            if regs.zkPC == self._ec_store_pc:
+                # A=hash B=r C=s D=v at ecrecover_store_args
+                # (main_executor.cpp:341-354); a None memo (invalid sig,
+                # edge case) just leaves the direct per-op math in place
+                from . import ec_precalc
+                ctx.ec_memo = ec_precalc.precalc(
+                    fea_to_scalar(regs.A), fea_to_scalar(regs.B),
+                    fea_to_scalar(regs.C), fea_to_scalar(regs.D))
+            elif regs.zkPC == self._ec_end_pc and ctx.ec_memo is not None:
+                ctx.ec_memo = None
             line = self.rom.program[regs.zkPC]
             ctx.counters.steps += 1
             ctx.step = step

@@ -163,12 +163,35 @@ def _ec_dbl(x1, y1):
     return x3, y3
 
 
+def _ec_memo_add(ctx, x1, y1, x2, y2):
+    """ECRecoverPrecalc memo probe (executor/ec_precalc.py; reference
+    eval_command.cpp:2296-2347 serves these from the positional
+    precalc buffer). Returns (x3, y3); a miss computes directly."""
+    m = getattr(ctx, "ec_memo", None)
+    if m is not None:
+        hit = m.get(("add", x1, y1, x2, y2))
+        if hit is not None:
+            ctx.ec_memo_hits += 1
+            return hit
+    return _ec_add(x1, y1, x2, y2)
+
+
+def _ec_memo_dbl(ctx, x1, y1):
+    m = getattr(ctx, "ec_memo", None)
+    if m is not None:
+        hit = m.get(("dbl", x1, y1))
+        if hit is not None:
+            ctx.ec_memo_hits += 1
+            return hit
+    return _ec_dbl(x1, y1)
+
+
 def x_add_point_ec(ctx, *params):
     if len(params) == 4:
         x1, y1, x2, y2 = (int(v) for v in params)
     else:
         (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
-    return _ec_add(x1, y1, x2, y2)[0]
+    return _ec_memo_add(ctx, x1, y1, x2, y2)[0]
 
 
 def y_add_point_ec(ctx, *params):
@@ -176,7 +199,7 @@ def y_add_point_ec(ctx, *params):
         x1, y1, x2, y2 = (int(v) for v in params)
     else:
         (x1, y1), (x2, y2) = _regs_point1(ctx), _regs_point2(ctx)
-    return _ec_add(x1, y1, x2, y2)[1]
+    return _ec_memo_add(ctx, x1, y1, x2, y2)[1]
 
 
 def x_dbl_point_ec(ctx, *params):
@@ -184,7 +207,7 @@ def x_dbl_point_ec(ctx, *params):
         x1, y1 = (int(v) for v in params)
     else:
         x1, y1 = _regs_point1(ctx)
-    return _ec_dbl(x1, y1)[0]
+    return _ec_memo_dbl(ctx, x1, y1)[0]
 
 
 def y_dbl_point_ec(ctx, *params):
@@ -192,7 +215,7 @@ def y_dbl_point_ec(ctx, *params):
         x1, y1 = (int(v) for v in params)
     else:
         x1, y1 = _regs_point1(ctx)
-    return _ec_dbl(x1, y1)[1]
+    return _ec_memo_dbl(ctx, x1, y1)[1]
 
 
 def inverse_fp_ec(ctx, a=None):
