@@ -88,8 +88,12 @@ def main():
     print(f"single proof {time.time()-t1:.1f}s", flush=True)
     assert proof_mesh.to_json() == proof_single.to_json(), \
         "mesh proof != single-device proof"
+    # measurement conditions in the tail: mesh timings on this box vary
+    # up to ~2x with host contention (the r2->r3 "regression" was load
+    # from concurrent proof jobs, not a code change), so every record
+    # carries the load it ran under
     print(f"zkevm mesh dryrun OK: byte-equal, total {time.time()-t0:.1f}s "
-          f"loadavg={os.getloadavg()}", flush=True)
+          f"loadavg={os.getloadavg()} ncpu={os.cpu_count()}", flush=True)
 
 
 if __name__ == "__main__":

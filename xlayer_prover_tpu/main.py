@@ -155,13 +155,56 @@ def cmd_run_services(cfg: Config) -> int:
             os.makedirs(cfg.hashdb_folder, exist_ok=True)
             backend = HashDB64(path=os.path.join(cfg.hashdb_folder,
                                                  cfg.hashdb_file_name))
+        elif cfg.database_url and cfg.database_url != "local":
+            # remote/persistent node store behind the cache stack
+            # (reference main.cpp:404-440 DATABASE_USE_CACHE path):
+            # postgres DSNs hit PostgresDB, anything else is a sqlite
+            # path for SqlDB; both sit under CachedDB (LRU+assoc+
+            # MultiWrite write-behind)
+            from .state.database import CachedDB, SqlDB
+            from .state.hashdb import HashDB as _HashDB
+            if cfg.database_url.startswith(("postgres://",
+                                            "postgresql://")):
+                from .state.postgres import PostgresDB
+                sql = PostgresDB(dsn=cfg.database_url)
+            else:
+                sql = SqlDB(cfg.database_url)
+            backend = _HashDB(db=CachedDB(
+                backend=sql,
+                mt_cache_bytes=cfg.db_mt_cache_mb * (1 << 20),
+                program_cache_bytes=cfg.db_program_cache_mb * (1 << 20)))
         else:
             backend = None
-        server = HashDBServer(HashDBServiceImpl(backend),
-                              cfg.hashdb_server_port).start()
+        impl = HashDBServiceImpl(backend)
+        server = HashDBServer(impl, cfg.hashdb_server_port).start()
         zklog.info(f"hashdb service listening on :{server.port} "
                    f"(backend={'hashdb64' if cfg.hashdb64 else 'classic'})")
         threads.append(server)
+        node_db = getattr(impl.hashdb, "db", None)
+        if cfg.load_db_to_mem_cache and not cfg.hashdb64 \
+                and hasattr(node_db, "read_state_root"):
+            # boot-time cache warm start (reference main.cpp:404-440)
+            from .state.database import load_db_to_mem_cache
+            timeout_s = cfg.load_db_to_mem_timeout_us / 1e6
+            if cfg.load_db_to_mem_cache_in_parallel:
+                import threading as _th
+                _th.Thread(target=load_db_to_mem_cache,
+                           args=(node_db,), kwargs={"timeout_s": timeout_s},
+                           daemon=True, name="loadDb2MemCache").start()
+            else:
+                n = load_db_to_mem_cache(node_db, timeout_s=timeout_s)
+                zklog.info(f"loadDb2MemCache: warmed {n} nodes")
+        if cfg.db_cache_synch_url and not cfg.hashdb64 \
+                and hasattr(node_db, "write_cache_only"):
+            # mirror a remote prover's flushes into the local caches
+            # (reference dbCacheSynchThread, database.cpp:96,1872-1966)
+            from .services.hashdb_service import HashDBRemote
+            from .state.database import CacheSynchThread
+            host, _, port = cfg.db_cache_synch_url.rpartition(":")
+            synch = CacheSynchThread(
+                node_db, HashDBRemote(host or "localhost", int(port)))
+            zklog.info(f"dbCacheSynch -> {cfg.db_cache_synch_url}")
+            threads.append(synch)
     if cfg.run_executor_server:
         rom, ex_machine = _load_rom(None)
         executor = Executor.__new__(Executor)

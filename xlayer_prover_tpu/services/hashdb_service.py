@@ -351,6 +351,8 @@ class HashDBRemote:
         self._purge = call("Purge", pb.PurgeRequest, pb.PurgeResponse)
         self._cancel = call("CancelBatch", pb.CancelBatchRequest,
                             pb.CancelBatchResponse)
+        self._get_flush_data = call("GetFlushData", pb.GetFlushDataRequest,
+                                    pb.GetFlushDataResponse)
 
     def set(self, batch_uuid, old_root, key, value):
         req = pb.SetRequest(batch_uuid=batch_uuid or "",
@@ -394,6 +396,27 @@ class HashDBRemote:
 
     def consolidate(self, batch_uuid: str):
         self._flush(pb.FlushRequest(batch_uuid=batch_uuid))
+
+    def get_flush_data(self, flush_id: int):
+        """(stored_flush_id, nodes, programs) — the dbCacheSynchThread
+        poll (reference HashDBRemote::getFlushData, hashdb_remote.cpp;
+        consumed by database.cpp:1872-1966)."""
+        resp = self._get_flush_data(pb.GetFlushDataRequest(
+            flush_id=flush_id))
+        if resp.result.code != pb.ResultCode.CODE_SUCCESS:
+            raise RuntimeError("hashdb remote getFlushData failed")
+
+        def unkey(hex64: str):
+            v = int(hex64, 16)
+            return tuple((v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+                         for j in range(4))
+
+        nodes = {unkey(k): [int(h[i * 16:(i + 1) * 16], 16)
+                            for i in range(len(h) // 16)]
+                 for k, h in resp.nodes.items()}
+        programs = {unkey(k): bytes.fromhex(v)
+                    for k, v in resp.program.items()}
+        return resp.stored_flush_id, nodes, programs
 
     def discard(self, batch_uuid: str):
         self._purge(pb.PurgeRequest(batch_uuid=batch_uuid))

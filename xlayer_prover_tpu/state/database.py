@@ -20,6 +20,10 @@ from typing import Dict, List, Optional, Tuple
 
 Key = Tuple[int, int, int, int]
 
+# Database::dbStateRootKey — the well-known node key under which the
+# latest consolidated state root is persisted (database.cpp:27-28)
+STATE_ROOT_KEY: Key = (0xFFFFFFFFFFFFFFFF,) * 4
+
 
 class MemoryDB:
     """In-memory node/program store with write counting (for tests/metrics)."""
@@ -363,6 +367,27 @@ class CachedDB:
         self.assoc.clear()
         self.program_cache.clear()
 
+    # -- cache-only writes (dbCacheSynchThread mirrors a remote prover's
+    # flushed nodes into the local caches WITHOUT re-persisting them,
+    # reference database.cpp:1872-1966 write(..., persistent=false)) --
+    def write_cache_only(self, key: Key, value: List[int]):
+        key = tuple(key)
+        value = [int(v) for v in value]
+        self.assoc.put(key, value)
+        self.mt_cache.put(key, value)
+
+    def set_program_cache_only(self, key: Key, data: bytes):
+        self.program_cache.put(tuple(key), bytes(data))
+
+    # -- persisted latest-consolidated-state-root sentinel (reference
+    # Database::dbStateRootKey = 64 f's, database.cpp:27-28,813) --
+    def update_state_root(self, root4):
+        self.write(STATE_ROOT_KEY, list(root4) + [0] * 8)
+
+    def read_state_root(self):
+        v = self.read(STATE_ROOT_KEY)
+        return None if v is None else tuple(v[:4])
+
 
 # ---------------------------------------------------------------------------
 # SQL-backed store (reference Database + Postgres, database.cpp:
@@ -433,6 +458,12 @@ class SqlDB:
                 _t.sleep(self.retry_delay_s)
         raise last
 
+    @staticmethod
+    def _parse(data: str) -> List[int]:
+        if "," in data:  # legacy comma-separated payloads
+            return [int(v, 16) for v in data.split(",")]
+        return [int(data[i * 16:(i + 1) * 16], 16) for i in range(12)]
+
     def read(self, key: Key):
         self.reads += 1
 
@@ -440,14 +471,15 @@ class SqlDB:
             cur = self._conn.execute(
                 "SELECT data FROM nodes WHERE hash = ?", (self._hex(key),))
             row = cur.fetchone()
-            return None if row is None else \
-                [int(v, 16) for v in row[0].split(",")]
+            return None if row is None else self._parse(row[0])
         return self._retry(q)
 
     def write(self, key: Key, value: List[int]):
         self.writes += 1
         assert len(value) == 12
-        data = ",".join("%x" % int(v) for v in value)
+        # fixed-width payload so read_tree can extract child hashes with
+        # substr() inside the recursive CTE
+        data = "".join("%016x" % int(v) for v in value)
 
         def q():
             self._conn.execute(
@@ -473,3 +505,146 @@ class SqlDB:
 
     def flush(self):
         self._retry(self._conn.commit)
+
+    def read_tree(self, root: Key, max_level: int = 300) -> dict:
+        """Bulk subtree read in ONE SQL round trip via a recursive CTE —
+        the TPU-build equivalent of the reference's readTreeRemote
+        stored procedure (database.hpp:64, writeGetTreeFunction).
+        Branch nodes (capacity 0000) recurse into both children; leaf
+        nodes (capacity 1000) pull their value node. Legacy
+        comma-separated rows terminate recursion (their children aren't
+        substr-addressable) but are still returned."""
+        cap0 = "0" * 64
+        cap1 = "%016x" % 1 + "0" * 48
+
+        def q():
+            cur = self._conn.execute(
+                "WITH RECURSIVE walk(hash, data, lvl) AS ("
+                "  SELECT hash, data, 0 FROM nodes WHERE hash = ?"
+                "  UNION"
+                "  SELECT n.hash, n.data, w.lvl + 1 FROM walk w"
+                "  JOIN nodes n ON ("
+                "    (substr(w.data, 129, 64) = ? AND"
+                "     n.hash IN (substr(w.data, 1, 64),"
+                "                substr(w.data, 65, 64)))"
+                "    OR (substr(w.data, 129, 64) = ? AND"
+                "        n.hash = substr(w.data, 65, 64)))"
+                "  WHERE w.lvl < ? AND length(w.data) = 192"
+                ") SELECT hash, data FROM walk",
+                (self._hex(root), cap0, cap1, max_level))
+            return cur.fetchall()
+
+        out = {}
+        for hash_hex, data in self._retry(q):
+            key = tuple(int(hash_hex[i * 16:(i + 1) * 16], 16)
+                        for i in range(4))
+            out[key] = self._parse(data)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Boot-time warm start (reference main.cpp:404-440 + database.cpp:1968-2126)
+# ---------------------------------------------------------------------------
+
+def load_db_to_mem_cache(db: "CachedDB", root4: Optional[Key] = None,
+                         timeout_s: float = 10.0,
+                         max_fill: float = 0.9) -> int:
+    """Warm the MT cache by walking the SMT breadth-first from the latest
+    consolidated state root (loadDb2MemCache, database.cpp:1968-2126):
+    branch nodes (capacity 0000) enqueue both children, leaf nodes
+    (capacity 1000) pull their value node. Bounded by wall-clock and by
+    cache fill exactly like the reference (10 s / 90 % defaults). When
+    the backend supports read_tree (SqlDB/PostgresDB recursive CTE —
+    the readTreeRemote equivalent) the whole subtree is fetched in one
+    SQL round trip instead. Returns the number of nodes cached."""
+    import time as _t
+    t0 = _t.monotonic()
+    if root4 is None:
+        root4 = db.read_state_root()
+    if root4 is None or not any(int(v) for v in root4):
+        return 0
+    root4 = tuple(int(v) for v in root4)
+
+    bulk = getattr(db.backend, "read_tree", None)
+    if bulk is not None:
+        count = 0
+        for key, value in bulk(root4).items():
+            db.write_cache_only(key, value)
+            count += 1
+            if db.mt_cache._bytes > max_fill * db.mt_cache.max_bytes:
+                break
+        return count
+
+    level = [root4]
+    count = 0
+    while level:
+        nxt = []
+        for h in level:
+            if _t.monotonic() - t0 > timeout_s:
+                return count
+            if db.mt_cache._bytes > max_fill * db.mt_cache.max_bytes:
+                return count
+            v = db.read(h)  # read() populates the caches
+            if v is None or len(v) < 12:
+                continue
+            count += 1
+            if any(int(x) for x in v[9:12]):
+                continue
+            if int(v[8]) == 0:  # branch
+                left, right = tuple(v[0:4]), tuple(v[4:8])
+                if any(left):
+                    nxt.append(left)
+                if any(right):
+                    nxt.append(right)
+            elif int(v[8]) == 1:  # leaf -> value node
+                vh = tuple(v[4:8])
+                if any(vh) and db.read(vh) is not None:
+                    count += 1
+        level = nxt
+    return count
+
+
+class CacheSynchThread:
+    """Mirror a remote prover's flushed nodes/programs into the local
+    caches (dbCacheSynchThread, database.cpp:1872-1966; started when
+    config.dbCacheSynchURL is set, database.cpp:96). The remote object
+    needs get_flush_data(flush_id) -> (stored_flush_id, nodes, programs)
+    — services.hashdb_service.HashDBRemote provides it over gRPC."""
+
+    def __init__(self, db: "CachedDB", remote, poll_s: float = 0.25):
+        self.db = db
+        self.remote = remote
+        self.poll_s = poll_s
+        self.synced_nodes = 0
+        self.synced_programs = 0
+        self.errors = 0
+        self._next = 1
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="dbCacheSynch")
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                stored, nodes, programs = \
+                    self.remote.get_flush_data(self._next)
+            except Exception:  # noqa: BLE001 - remote down: retry slowly
+                self.errors += 1
+                self._stop.wait(max(1.0, 4 * self.poll_s))
+                continue
+            if not nodes and not programs:
+                if stored < self._next:  # nothing sealed yet
+                    self._stop.wait(self.poll_s)
+                    continue
+            for k, v in nodes.items():
+                self.db.write_cache_only(k, v)
+            for k, v in programs.items():
+                self.db.set_program_cache_only(k, v)
+            self.synced_nodes += len(nodes)
+            self.synced_programs += len(programs)
+            self._next += 1
+
+    def stop(self, timeout: float = 2.0):
+        self._stop.set()
+        self._thread.join(timeout)

@@ -129,6 +129,13 @@ class HashDB:
             self.db.write(k, v)
         for k, d in store.programs.items():
             self.db.set_program(k, d)
+        if root is not None and any(int(v) for v in root):
+            # persist the consolidated root under the dbStateRootKey
+            # sentinel so loadDb2MemCache can warm-start after a restart
+            # (reference Database::updateStateRoot, database.cpp:806-858)
+            update = getattr(self.db, "update_state_root", None)
+            if update is not None:
+                update(root)
         return self.db.flush()   # CachedDB: (flush_id, stored_flush_id)
 
     def discard(self, batch_uuid: str):
