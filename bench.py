@@ -138,6 +138,7 @@ def _device_bench():
     states = gl.from_u64_np(
         rng.integers(0, gl.P, size=(pb, 12), dtype=np.uint64))
     for name, fn in (("lazy", pp.permute_small_lazy),
+                     ("lazy_t", pp.permute_small_lazy_t),
                      ("lazy_mxu", pp.permute_small_lazy_mxu)):
         st = fn(states)
         force(st)

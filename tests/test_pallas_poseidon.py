@@ -67,6 +67,9 @@ def test_small_lazy_and_transposed_match(rng):
     assert np.array_equal(got, exp)
     got_t = np.asarray(permute_small_t(gl.from_u64_np(states)))
     assert np.array_equal(got_t, exp)
+    from xlayer_prover_tpu.ops.pallas_poseidon import permute_small_lazy_t
+    got_lt = np.asarray(permute_small_lazy_t(gl.from_u64_np(states)))
+    assert np.array_equal(got_lt, exp)
 
 
 def test_mxu_mds_layer_matches(rng):

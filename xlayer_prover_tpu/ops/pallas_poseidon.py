@@ -461,6 +461,78 @@ def permute_small_lazy(states_u64):
     return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
 
 
+def _mds_small_lazy_t(lo, hi):
+    """Lazy MDS over (12, batch) planes: unrolled per output column so
+    every term is a full-lane (batch,) MAC (no (B,12,12) broadcast
+    intermediate, no 12->128 lane padding), carries composed once,
+    result non-canonical.  Same digit math as _mds_small_nc."""
+    m = _mds_small_table()                          # (12, 12) numpy u32
+    planes = (lo & MASK16, lo >> 16, hi & MASK16, hi >> 16)
+    accs = []
+    for p in planes:
+        outs = []
+        for j in range(12):
+            acc = None
+            for i in range(12):
+                c = int(m[i][j])
+                if c == 0:
+                    continue
+                term = p[i] * np.uint32(c)
+                acc = term if acc is None else acc + term
+            outs.append(acc if acc is not None else jnp.zeros_like(p[0]))
+        accs.append(jnp.stack(outs))
+    a0, a1, a2, a3 = accs
+    return _compose16_nc(a0, a1, a2, a3)
+
+
+@jax.jit
+def permute_small_lazy_tt(lo, hi):
+    """Lane-major lazy permutation: (12, batch) u32 planes in and out.
+    Combines the two independent r3-shootout wins that were only ever
+    measured separately: lazy (non-canonical) arithmetic AND the
+    transposed layout (batch on the 128 VPU lanes; the state dim of 12
+    pads only to 16 sublanes instead of 12->128 lanes)."""
+    c_np, _m, _f, _o = _tables()
+    clo = jnp.asarray((c_np & 0xFFFFFFFF).astype(np.uint32))
+    chi = jnp.asarray((c_np >> 32).astype(np.uint32))
+    half = pc.FULL_ROUNDS // 2
+    nrp = pc.PARTIAL_ROUNDS
+
+    def full_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][:, None], cr[1][:, None])
+        lo, hi = _sbox_nc(lo, hi)
+        return _mds_small_lazy_t(lo, hi), None
+
+    def partial_round(carry, cr):
+        lo, hi = carry
+        lo, hi = _add_nc(lo, hi, cr[0][:, None], cr[1][:, None])
+        s_lo, s_hi = _sbox_nc(lo[0:1], hi[0:1])
+        lo = jnp.concatenate([s_lo, lo[1:]], axis=0)
+        hi = jnp.concatenate([s_hi, hi[1:]], axis=0)
+        return _mds_small_lazy_t(lo, hi), None
+
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (clo[:half], chi[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (clo[half:half + nrp], chi[half:half + nrp]))
+    st, _ = jax.lax.scan(full_round, st,
+                         (clo[half + nrp:], chi[half + nrp:]))
+    return _cond_sub_p(*st)
+
+
+@jax.jit
+def permute_small_lazy_t(states_u64):
+    """(batch, 12) uint64 wrapper around permute_small_lazy_tt: two
+    transposes move 12 x batch x 8 B once against 30 rounds of
+    arithmetic."""
+    lo = (states_u64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).T
+    hi = (states_u64 >> jnp.uint64(32)).astype(jnp.uint32).T
+    lo, hi = permute_small_lazy_tt(lo, hi)
+    return (lo.astype(jnp.uint64) | (hi.astype(jnp.uint64)
+                                     << jnp.uint64(32))).T
+
+
 @jax.jit
 def permute_small_lazy_mxu(states_u64):
     """permute_small_lazy with the MDS on the MXU (f32 limb matmul) —

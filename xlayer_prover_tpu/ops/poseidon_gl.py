@@ -108,6 +108,7 @@ def _silicon_winner() -> str:
         with open(path) as f:
             data = _json.load(f)
         rates = {"small_lazy": data.get("poseidon_perm_lazy_Mhz", 0),
+                 "small_lazy_t": data.get("poseidon_perm_lazy_t_Mhz", 0),
                  "small_lazy_mxu": data.get("poseidon_perm_lazy_mxu_Mhz",
                                             0)}
         best = max(rates, key=rates.get)
@@ -134,6 +135,7 @@ def permute(state):
         return permute_u64(state)
     from . import pallas_poseidon as pp
     fn = {"small": pp.permute_small, "small_lazy": pp.permute_small_lazy,
+          "small_lazy_t": pp.permute_small_lazy_t,
           "small_lazy_mxu": pp.permute_small_lazy_mxu,
           "small_t": pp.permute_small_t, "mxu": pp.permute_mxu,
           "u32": pp.permute_u32}[kind]
