@@ -71,3 +71,44 @@ def test_memory_plan_consumer():
     assert plan["stream_block_cols"] >= 8
     plan8 = memory_plan(si, n_devices=8)
     assert plan8["per_device_bytes"] < plan["per_device_bytes"]
+
+
+def test_memory_plan_reference_geometry_pod_slice():
+    """The FULL reference geometry — 751 executor pols x 2^23 rows
+    (commit_pols.hpp:1735-1737) plus this framework's measured
+    chains-bound cm2/cm3 widths — through the planner: a single 16 GB
+    chip must stream column blocks; a v5e-64 pod slice holds every
+    section HBM-resident, which is the production sharding this design
+    targets (SURVEY §2.7 P7)."""
+    from xlayer_prover_tpu.stark.stark_info import StarkInfo, memory_plan
+    si = StarkInfo.from_json({
+        "starkStruct": {"nBits": 23, "nBitsExt": 24, "nQueries": 64,
+                        "steps": [{"nBits": 24}, {"nBits": 19},
+                                  {"nBits": 14}]},
+        "nConstants": 361, "nPublics": 44,
+        "mapSectionsN": {
+            # committed widths measured on this framework's own
+            # chains-bound zkevm AIR (PROOF_2e18_chains.json), scaled to
+            # the reference's 2^23 trace domain
+            "const_n": 361, "const_2ns": 361,
+            "cm1_n": 751, "cm1_2ns": 751,
+            "cm2_n": 600, "cm2_2ns": 600,
+            "cm3_n": 999, "cm3_2ns": 999,
+            "q_2ns": 6,
+        },
+    })
+    one = memory_plan(si, n_devices=1)
+    # ~680 GB total: half a TB of sections cannot be chip-resident
+    assert one["total_bytes"] > 500 << 30
+    assert not one["hbm_resident"]
+    # the streaming block must fit 3 working copies of the worst
+    # section's rows inside half the HBM
+    worst_rows = 1 << 24
+    assert one["stream_block_cols"] * worst_rows * 8 * 3 <= 8 << 30
+    # a v5e-64 slice (16 GB/chip) holds everything resident
+    pod = memory_plan(si, n_devices=64)
+    assert pod["per_device_bytes"] <= int((16 << 30) * 0.75)
+    assert pod["hbm_resident"]
+    # v5p single host (8 x 95 GB) also resident
+    v5p = memory_plan(si, n_devices=8, hbm_bytes=95 << 30)
+    assert v5p["hbm_resident"]
