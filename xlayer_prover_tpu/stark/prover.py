@@ -297,10 +297,20 @@ def get_air_jits(air):
         if not _r2["built"]:
             _r2_build()
         args = (const_n, cm1_n, ch, publics, x_n, l1_n)
-        pairs = []
-        for fn in _r2["ft"]:
-            f_dev, t_dev = fn(*args)
-            pairs.append(_r2["split"](f_dev, t_dev))
+        # the first dispatch of each per-lookup graph triggers its
+        # compile; running them from a thread pool overlaps the compiles
+        # (XLA releases the GIL; the remote TPU compile service queues
+        # per-connection), which turns ~#lookups serial compile waits
+        # into ~#lookups/8.  Steady-state dispatch order is unchanged —
+        # results are ordered by lookup index either way.
+        from concurrent.futures import ThreadPoolExecutor
+        if _r2["ft"] and not _r2.get("warm") and _use_jit_pipelines():
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                fts = list(pool.map(lambda fn: fn(*args), _r2["ft"]))
+            _r2["warm"] = True
+        else:
+            fts = [fn(*args) for fn in _r2["ft"]]
+        pairs = [_r2["split"](f_dev, t_dev) for f_dev, t_dev in fts]
         if not pairs:
             return gl.zeros((n, air.cm2_width)), jnp.uint64(0)
         return _r2["assemble"](pairs)
@@ -429,9 +439,17 @@ def get_air_jits(air):
             _r3_build()
         args = (const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
         zscan = zscan if zscan is not None else _r3["zscan"]
+        # overlap the per-z-column graph compiles on first dispatch
+        # (same rationale as round2; steady state is plain in-order)
+        from concurrent.futures import ThreadPoolExecutor
+        if _r3["numden"] and not _r3.get("warm") and _use_jit_pipelines():
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                nds = list(pool.map(lambda fn: fn(*args), _r3["numden"]))
+            _r3["warm"] = True
+        else:
+            nds = [fn(*args) for fn in _r3["numden"]]
         triples = []
-        for fn in _r3["numden"]:
-            num_s, den_s = fn(*args)
+        for num_s, den_s in nds:
             triples.append(zscan(tuple(num_s[k] for k in range(3)),
                                  tuple(den_s[k] for k in range(3))))
         if _r3["ims"] is not None:
