@@ -4,13 +4,17 @@ Reference: test/service/aggregator/aggregator_service.cpp:18-240 — prove
 batches 0..3, aggregate(0,1), aggregate(2,3), aggregate the pair, then
 the final stage (RecursiveF -> final R1CS -> Groth16 pairing check).
 
-Usage:
-  python tools/run_a7_cascade.py [--n-bits 16] [--n-queries 4]
-      [--out PROOF_a7_cascade.json] [--cpu]
+Every completed stage persists its proof under --state-dir, so an
+interrupted run resumes where it stopped (the reference's equivalent is
+the saveProofToFile/runFileGen* stage replay, config.hpp:56-63).
 
-Writes stage timings + publics chain + verification results as it goes
-(the artifact is updated after every stage, so a partial run still
-documents how far it got).
+Usage:
+  python tools/run_a7_cascade.py [--n-bits 17] [--n-queries 4]
+      [--vectors 0,1,2,3] [--out PROOF_a7_cascade.json] [--cpu]
+      [--state-dir a7_state]
+
+The artifact is updated after every stage, so a partial run still
+documents how far it got.
 """
 
 import argparse
@@ -38,27 +42,36 @@ VEC = "/root/reference/testvectors/e2e/fork_9/input_executor_{}.json"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-bits", type=int, default=16)
+    ap.add_argument("--n-bits", type=int, default=17,
+                    help="batch domain; vectors 2/3 carry 1322 binary "
+                         "ops x 64 rows and need >= 2^17")
     ap.add_argument("--n-queries", type=int, default=4)
+    ap.add_argument("--vectors", default="0,1,2,3")
     ap.add_argument("--out", default="PROOF_a7_cascade.json")
+    ap.add_argument("--state-dir", default="a7_state")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    vecs = [int(v) for v in args.vectors.split(",")]
 
     from xlayer_prover_tpu.executor.input import BatchInput
     from xlayer_prover_tpu.executor.rom import Rom
     from xlayer_prover_tpu.executor.storage_rom import StorageRom
     from xlayer_prover_tpu.prover_service import BatchProver
     from xlayer_prover_tpu.recursion.stack import (RecursionStack,
+                                                   RecursiveProof,
                                                    zkevm_chain_spec)
     from xlayer_prover_tpu.snark import groth16
     from xlayer_prover_tpu.stark import verifier
+    from xlayer_prover_tpu.stark.proof import StarkProof
 
+    os.makedirs(args.state_dir, exist_ok=True)
     artifact = {
         "what": "A.7 cascade: 4 real batches -> 3 aggregations -> "
                 "RecursiveF -> Groth16 (aggregator_service.cpp:18-240)",
         "backend": jax.default_backend(),
         "n_bits": args.n_bits,
         "n_queries": args.n_queries,
+        "vectors": vecs,
         "stages": {},
         "status": "running",
     }
@@ -68,7 +81,40 @@ def main():
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1, default=str)
 
-    def stage(name, fn):
+    def _path(name):
+        return os.path.join(args.state_dir,
+                            f"{name}_nb{args.n_bits}_q{args.n_queries}.json")
+
+    def stage(name, fn, level=None):
+        """Run fn (returning a StarkProof or RecursiveProof), resuming
+        from the persisted result when present."""
+        p = _path(name)
+        if os.path.exists(p):
+            with open(p) as f:
+                blob = json.load(f)
+            proof = StarkProof.from_json(blob["proof"])
+            out = RecursiveProof(level=blob["level"], proof=proof) \
+                if blob.get("level") else proof
+            artifact["stages"][name] = "resumed"
+            print(f"[a7] {name}: resumed from {p}", flush=True)
+            save()
+            return out
+        t0 = time.perf_counter()
+        out = fn()
+        dt = round(time.perf_counter() - t0, 2)
+        artifact["stages"][name] = dt
+        if isinstance(out, RecursiveProof):
+            blob = {"level": out.level, "proof": out.proof.to_json()}
+        else:
+            blob = {"level": 0, "proof": out.to_json()}
+        with open(p, "w") as f:
+            json.dump(blob, f)
+        print(f"[a7] {name}: {dt}s", flush=True)
+        save()
+        return out
+
+    def tstage(name, fn):
+        """Timed non-proof stage (setup / verification / final snark)."""
         t0 = time.perf_counter()
         out = fn()
         dt = round(time.perf_counter() - t0, 2)
@@ -83,19 +129,19 @@ def main():
                          limb_bits=16, n_queries=args.n_queries,
                          max_steps=1 << (args.n_bits - 1),
                          storage_rom=srom)
-    stage("setup_const_tree", engine.setup)
+    tstage("setup_const_tree", engine.setup)
 
     batch_proofs = []
     publics_chain = []
-    for k in range(4):
-        inp = BatchInput.load(VEC.format(k))
+    for k, v in enumerate(vecs):
+        inp = BatchInput.load(VEC.format(v))
 
-        def prove_one(k=k, inp=inp):
+        def prove_one(inp=inp, k=k):
             proof, _ctx = engine.prove(inp, batch_uuid=f"a7-{k}")
             assert verifier.verify(engine.air, engine.setup().verkey, proof)
             return proof
 
-        proof = stage(f"batch_proof_{k}", prove_one)
+        proof = stage(f"batch_proof_{k}v{v}", prove_one)
         batch_proofs.append(proof)
         publics_chain.append([int(p) for p in proof.publics[:8]])
 
@@ -105,21 +151,22 @@ def main():
                            out_map=out_map)
 
     lifts = [stage(f"recursive1_{k}",
-                   lambda k=k: stack.lift(batch_proofs[k]))
-             for k in range(4)]
-    agg01 = stage("aggregate_01", lambda: stack.aggregate(lifts[0],
-                                                          lifts[1]))
-    agg23 = stage("aggregate_23", lambda: stack.aggregate(lifts[2],
-                                                          lifts[3]))
-    root = stage("aggregate_root", lambda: stack.aggregate(agg01, agg23))
-    assert stage("verify_root", lambda: stack.verify(root))
+                   lambda k=k: stack.lift(batch_proofs[k]), level=1)
+             for k in range(len(batch_proofs))]
+    agg01 = stage("aggregate_01",
+                  lambda: stack.aggregate(lifts[0], lifts[1]), level=2)
+    agg23 = stage("aggregate_23",
+                  lambda: stack.aggregate(lifts[2], lifts[3]), level=2)
+    root = stage("aggregate_root",
+                 lambda: stack.aggregate(agg01, agg23), level=2)
+    assert tstage("verify_root", lambda: stack.verify(root))
 
-    out = stage("finalize_groth16",
-                lambda: stack.finalize(root, wrap="groth16",
-                                       rng=random.Random(11)))
-    ok = stage("groth16_verify",
-               lambda: groth16.verify(out["vk"], out["proof"],
-                                      out["publics"]))
+    out = tstage("finalize_groth16",
+                 lambda: stack.finalize(root, wrap="groth16",
+                                        rng=random.Random(11)))
+    ok = tstage("groth16_verify",
+                lambda: groth16.verify(out["vk"], out["proof"],
+                                       out["publics"]))
     assert ok
     save(status="complete", verified=True,
          groth16_publics=[str(p) for p in out["publics"]],
