@@ -122,11 +122,37 @@ def _device_bench():
     y, d = hash_step(y, gl.zeros((m, 4)))
     force(d)
     dt_m, (y, d) = timed_chain(lambda s: hash_step(*s), (y, d))
-    # speed of light: 12 GL lanes r+w per hash over HBM
+    # bandwidth bound kept for r1-r3 continuity; the permutation is
+    # compute-bound ~50x over its traffic (docs/POSEIDON_SOL.md) so the
+    # honest denominator is the VPU instruction budget: ~128k u32 slots
+    # per permutation on 3.85 T slots/s -> 30 Mperm/s.
+    POS_COMPUTE_SOL = 30e6
     pos_sol = 819e9 / (12 * 8 * 2)
     pos_rate = m / dt_m
     out["poseidon_Mhashes_per_s"] = round(pos_rate / 1e6, 3)
     out["poseidon_vs_sol"] = round(pos_rate / pos_sol, 4)
+    partial()
+
+    # --- Poseidon at production batch: 2^20-row leaf hash ----------------
+    # The 2^16 figure above is dispatch-limited on a ~0.5 s-RTT tunnel;
+    # Merkle leaf hashing inside a real proof runs millions of rows per
+    # dispatch.  This is the rate the compute-SoL ceiling applies to.
+    lb_bits = 20
+    lb = 1 << lb_bits
+    z = gl.from_u64_np(rng.integers(0, gl.P, size=(lb, 8), dtype=np.uint64))
+
+    @jax.jit
+    def leaf_step(rows, digest):
+        rows = rows.at[:, :4].set(gl.add(rows[:, :4], digest))
+        return rows, poseidon_gl.linear_hash(rows, 8)
+
+    z, zd = leaf_step(z, gl.zeros((lb, 4)))
+    force(zd)
+    dt_l, (z, zd) = timed_chain(lambda s: leaf_step(*s), (z, zd),
+                                min_reps=2, max_reps=64)
+    leaf_rate = lb / dt_l
+    out["poseidon_leaf_2e20_Mhz"] = round(leaf_rate / 1e6, 2)
+    out["poseidon_vs_compute_sol"] = round(leaf_rate / POS_COMPUTE_SOL, 4)
     partial()
 
     # --- Poseidon permutation backend shootout ---------------------------
@@ -199,10 +225,20 @@ def _device_bench():
     force(folded[0])
     dt_p = max(time.perf_counter() - t0 - 2 * rtt, 1e-9)
     out["pipeline_2e20x16_ms"] = round(dt_p * 1e3, 1)
-    # speed of light: LDE touches 2^20*16 + 2^21*16 elems (r+w through
-    # log stages), merkle ~2^21 rows hashed, folds touch ~2^21*3*4/3.
+    # bandwidth-only line kept for r1-r3 continuity: LDE touches
+    # 2^20*16 + 2^21*16 elems (r+w through log stages), merkle ~2^21 rows
+    # hashed, folds touch ~2^21*3*4/3.
     pipe_bytes = (p_bits + 2) * (pn * 2 * p_cols) * 8 * 2
     out["pipeline_vs_sol"] = round((pipe_bytes / 819e9) / dt_p, 4)
+    # component-wise compute SoL (docs/POSEIDON_SOL.md): the Merkle build
+    # is Poseidon-compute-bound (16-wide leaves = 2 perms/row + 1 perm/node
+    # over 2^21 ext rows), LDE + folds are HBM-bound.
+    pipe_perms = 3 * (pn * 2)
+    lde_bytes = (p_bits + 2) * (pn * 3 * p_cols) * 8 * 2
+    fold_bytes = (pn * 2) * 3 * 8 * 2 * 2
+    pipe_sol_s = pipe_perms / POS_COMPUTE_SOL \
+        + (lde_bytes + fold_bytes) / 819e9
+    out["pipeline_vs_compute_sol"] = round(pipe_sol_s / dt_p, 4)
 
     print("CHILD_RESULT " + json.dumps(out))
 
@@ -370,8 +406,11 @@ def main():
     if dev.get("child_died"):
         line["child_died"] = True
     for k in ("ntt_ms", "poseidon_Mhashes_per_s", "poseidon_vs_sol",
+              "poseidon_leaf_2e20_Mhz", "poseidon_vs_compute_sol",
+              "poseidon_perm_lazy_Mhz", "poseidon_perm_lazy_t_Mhz",
+              "poseidon_perm_lazy_mxu_Mhz",
               "merkle_tree_2e16_ms", "pipeline_2e20x16_ms",
-              "pipeline_vs_sol", "rtt_ms"):
+              "pipeline_vs_sol", "pipeline_vs_compute_sol", "rtt_ms"):
         if k in dev:
             line[k] = dev[k]
     line["executor_steps_per_s"] = _executor_bench()
