@@ -15,6 +15,15 @@ Usage:
 
 The artifact is updated after every stage, so a partial run still
 documents how far it got.
+
+Parallel workers: the host pipeline is largely single-threaded
+(eager numpy), so independent stages scale ~linearly across processes.
+  python tools/run_a7_cascade.py --cpu --worker batch:2   # prove vec 2
+  python tools/run_a7_cascade.py --cpu --worker lift:0    # rec1 of batch 0
+  python tools/run_a7_cascade.py --cpu --worker agg:01    # aggregate(l0,l1)
+Each worker computes exactly one stage and persists it to --state-dir;
+the orchestrating run (no --worker) picks persisted stages up as
+"resumed".  Workers for lift/agg wait for their inputs to appear.
 """
 
 import argparse
@@ -50,6 +59,9 @@ def main():
     ap.add_argument("--out", default="PROOF_a7_cascade.json")
     ap.add_argument("--state-dir", default="a7_state")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--worker", default=None,
+                    help="run ONE stage and exit: batch:K | lift:K | "
+                         "agg:01 | agg:23 | agg:root")
     args = ap.parse_args()
     vecs = [int(v) for v in args.vectors.split(",")]
 
@@ -87,28 +99,19 @@ def main():
 
     def stage(name, fn, level=None):
         """Run fn (returning a StarkProof or RecursiveProof), resuming
-        from the persisted result when present."""
-        p = _path(name)
-        if os.path.exists(p):
-            with open(p) as f:
-                blob = json.load(f)
-            proof = StarkProof.from_json(blob["proof"])
-            out = RecursiveProof(level=blob["level"], proof=proof) \
-                if blob.get("level") else proof
+        from the persisted result when present (a parallel --worker may
+        land it at any time)."""
+        out = read_stage(name)
+        if out is not None:
             artifact["stages"][name] = "resumed"
-            print(f"[a7] {name}: resumed from {p}", flush=True)
+            print(f"[a7] {name}: resumed from {_path(name)}", flush=True)
             save()
             return out
         t0 = time.perf_counter()
         out = fn()
         dt = round(time.perf_counter() - t0, 2)
         artifact["stages"][name] = dt
-        if isinstance(out, RecursiveProof):
-            blob = {"level": out.level, "proof": out.proof.to_json()}
-        else:
-            blob = {"level": 0, "proof": out.to_json()}
-        with open(p, "w") as f:
-            json.dump(blob, f)
+        write_stage(name, out)
         print(f"[a7] {name}: {dt}s", flush=True)
         save()
         return out
@@ -123,12 +126,93 @@ def main():
         save()
         return out
 
+    def read_stage(name):
+        p = _path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            blob = json.load(f)
+        proof = StarkProof.from_json(blob["proof"])
+        return RecursiveProof(level=blob["level"], proof=proof) \
+            if blob.get("level") else proof
+
+    def write_stage(name, out):
+        if isinstance(out, RecursiveProof):
+            blob = {"level": out.level, "proof": out.proof.to_json()}
+        else:
+            blob = {"level": 0, "proof": out.to_json()}
+        p = _path(name)
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(blob, f)
+        os.replace(tmp, p)
+
+    def wait_stage(name, timeout_s=4 * 3600):
+        t0 = time.time()
+        while True:
+            out = read_stage(name)
+            if out is not None:
+                return out
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(f"stage {name} never appeared")
+            time.sleep(20)
+
     rom = Rom.load_fork(9)
     srom = StorageRom.load_default()
     engine = BatchProver(rom, n_bits=args.n_bits, chunk_bits=4,
                          limb_bits=16, n_queries=args.n_queries,
                          max_steps=1 << (args.n_bits - 1),
                          storage_rom=srom)
+
+    if args.worker:
+        kind, _, arg = args.worker.partition(":")
+        t0 = time.perf_counter()
+        engine.setup()
+        print(f"[a7:{args.worker}] setup "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        def make_stack(n_publics):
+            link, out_map = zkevm_chain_spec(n_publics)
+            return RecursionStack(engine.air, engine.setup().verkey,
+                                  n_queries=args.n_queries, link=link,
+                                  out_map=out_map)
+
+        t0 = time.perf_counter()
+        if kind == "batch":
+            k = int(arg)
+            name = f"batch_proof_{k}v{vecs[k]}"
+            if read_stage(name) is None:
+                inp = BatchInput.load(VEC.format(vecs[k]))
+                proof, _ctx = engine.prove(inp, batch_uuid=f"a7-{k}")
+                assert verifier.verify(engine.air, engine.setup().verkey,
+                                       proof)
+                write_stage(name, proof)
+        elif kind == "lift":
+            k = int(arg)
+            name = f"recursive1_{k}"
+            if read_stage(name) is None:
+                inner = wait_stage(f"batch_proof_{k}v{vecs[k]}")
+                write_stage(name,
+                            make_stack(len(inner.publics)).lift(inner))
+        elif kind == "agg":
+            name = {"01": "aggregate_01", "23": "aggregate_23",
+                    "root": "aggregate_root"}[arg]
+            if read_stage(name) is None:
+                if arg == "root":
+                    a = wait_stage("aggregate_01")
+                    b = wait_stage("aggregate_23")
+                else:
+                    a = wait_stage(f"recursive1_{arg[0]}")
+                    b = wait_stage(f"recursive1_{arg[1]}")
+                base = wait_stage(f"batch_proof_0v{vecs[0]}")
+                write_stage(name,
+                            make_stack(len(base.publics)).aggregate(a, b))
+        else:
+            raise SystemExit(f"unknown worker kind {kind!r}")
+        print(f"[a7:{args.worker}] done "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        return
+
     tstage("setup_const_tree", engine.setup)
 
     batch_proofs = []
