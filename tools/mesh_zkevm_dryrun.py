@@ -26,6 +26,12 @@ def main():
     # jitted rounds under the mesh: eager SPMD ops enter collectives
     # per-thread and trip XLA's 40 s CPU rendezvous abort on busy hosts
     os.environ.setdefault("XLAYER_PROVER_JIT_ROUNDS", "1")
+    # strict compile/execute serialization: JAX async dispatch lets the
+    # next graph's multi-minute XLA compile run concurrently with an
+    # in-flight collective, starving its device threads past the
+    # hardcoded 40 s CPU rendezvous abort (utils/sync.py; this exact
+    # abort killed the r4 dryrun).  AOT-compile first, execute serially.
+    os.environ.setdefault("XLAYER_PROVER_SYNC_DISPATCH", "1")
     import jax
     # MUST run before any device query: the first backend touch pins the
     # platform (a later switch silently keeps e.g. the axon TPU plugin)

@@ -150,6 +150,8 @@ def _load():
     if _lib is not None:
         return _lib
     path = os.path.abspath(_LIB_PATH)
+    from ..native import ensure_built
+    ensure_built(path)
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)

@@ -17,11 +17,32 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libzkcrypto.so")
 _lib = None
 
+_build_attempted = False
+
+
+def ensure_built(path: str) -> None:
+    """Build the native libs once on demand: *.so is gitignored, so a
+    fresh checkout has none (r4's suite failed 4 parity tests for it)."""
+    global _build_attempted
+    if os.path.exists(path) or _build_attempted:
+        return
+    _build_attempted = True
+    import subprocess
+    script = os.path.join(os.path.dirname(__file__), "..", "..",
+                          "tools", "build_native.sh")
+    if os.path.exists(script):
+        try:
+            subprocess.run(["bash", script], capture_output=True,
+                           timeout=300)
+        except Exception:  # noqa: BLE001
+            pass
+
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    ensure_built(_LIB_PATH)
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -162,6 +183,7 @@ def _load_msm():
     global _msm_lib
     if _msm_lib is not None:
         return _msm_lib
+    ensure_built(_MSM_PATH)
     if not os.path.exists(_MSM_PATH):
         return None
     lib = ctypes.CDLL(_MSM_PATH)

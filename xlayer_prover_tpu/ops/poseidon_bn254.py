@@ -65,6 +65,8 @@ def _native_lib():
     import ctypes
     path = os.path.join(os.path.dirname(__file__), "..", "native",
                         "libposbn.so")
+    from ..native import ensure_built
+    ensure_built(path)
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(os.path.abspath(path))

@@ -102,18 +102,20 @@ def prove(transcript, fri_pol, air, trees_main_np, sources_main_np,
     fri_sources = [None]
     roots = [None]
 
+    from ..utils.sync import sync
     for si in range(len(steps)):
         special_x = transcript.get_field()
         sx = gl3.from_ints(*special_x)
         if si > 0:
             w_inv = gl.host_inv(gl.host_w(pol_bits))
-            layer = fold(layer, sx, shift_inv, w_inv, pol_bits, steps[si])
+            layer = sync(fold(layer, sx, shift_inv, w_inv, pol_bits,
+                              steps[si]))
             reduction = pol_bits - steps[si]
             for _ in range(reduction):
                 shift_inv = (shift_inv * shift_inv) % P
             pol_bits = steps[si]
         if si < len(steps) - 1:
-            src = transpose_for_tree(layer, steps[si], steps[si + 1])
+            src = sync(transpose_for_tree(layer, steps[si], steps[si + 1]))
             tree = scheme.merkelize(src, src.shape[1])
             fri_trees.append(tree)
             fri_sources.append(src)     # device or host; queried batched

@@ -302,18 +302,26 @@ def get_air_jits(air):
         # (XLA releases the GIL; the remote TPU compile service queues
         # per-connection), which turns ~#lookups serial compile waits
         # into ~#lookups/8.  Steady-state dispatch order is unchanged —
-        # results are ordered by lookup index either way.
+        # results are ordered by lookup index either way.  In sync mode
+        # (CPU meshes) the warm is AOT compile-only and execution is
+        # strictly serial: concurrent collective executions + compiles
+        # starve XLA's hardcoded 40 s CPU rendezvous (utils/sync.py).
         from concurrent.futures import ThreadPoolExecutor
+        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
         if _r2["ft"] and not _r2.get("warm") and _use_jit_pipelines():
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                fts = list(pool.map(lambda fn: fn(*args), _r2["ft"]))
+            if sync_dispatch_enabled():
+                fts = [sync(fn(*args))
+                       for fn in aot_warm(_r2["ft"], args)]
+            else:
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    fts = list(pool.map(lambda fn: fn(*args), _r2["ft"]))
             _r2["warm"] = True
         else:
-            fts = [fn(*args) for fn in _r2["ft"]]
-        pairs = [_r2["split"](f_dev, t_dev) for f_dev, t_dev in fts]
+            fts = [sync(fn(*args)) for fn in _r2["ft"]]
+        pairs = [sync(_r2["split"](f_dev, t_dev)) for f_dev, t_dev in fts]
         if not pairs:
             return gl.zeros((n, air.cm2_width)), jnp.uint64(0)
-        return _r2["assemble"](pairs)
+        return sync(_r2["assemble"](pairs))
 
     # Round 3 runs as an ORCHESTRATOR of medium-sized graphs instead of
     # one monolith: tracing every z-scan + im fill into a single jit
@@ -440,24 +448,33 @@ def get_air_jits(air):
         args = (const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
         zscan = zscan if zscan is not None else _r3["zscan"]
         # overlap the per-z-column graph compiles on first dispatch
-        # (same rationale as round2; steady state is plain in-order)
+        # (same rationale as round2; steady state is plain in-order).
+        # Sync mode: AOT compile-only warm + strictly serial execution
+        # (see round2 / utils/sync.py).
         from concurrent.futures import ThreadPoolExecutor
+        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
         if _r3["numden"] and not _r3.get("warm") and _use_jit_pipelines():
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                nds = list(pool.map(lambda fn: fn(*args), _r3["numden"]))
+            if sync_dispatch_enabled():
+                nds = [sync(fn(*args))
+                       for fn in aot_warm(_r3["numden"], args)]
+            else:
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    nds = list(pool.map(lambda fn: fn(*args),
+                                        _r3["numden"]))
             _r3["warm"] = True
         else:
-            nds = [fn(*args) for fn in _r3["numden"]]
+            nds = [sync(fn(*args)) for fn in _r3["numden"]]
         triples = []
         for num_s, den_s in nds:
-            triples.append(zscan(tuple(num_s[k] for k in range(3)),
-                                 tuple(den_s[k] for k in range(3))))
+            triples.append(sync(zscan(tuple(num_s[k] for k in range(3)),
+                                      tuple(den_s[k] for k in range(3)))))
         if _r3["ims"] is not None:
             im_out, conn_nd = _r3["ims"](*args)
+            sync(im_out)
             triples.extend(tuple(t) for t in im_out)
             for (num_v, den_v) in conn_nd:
-                triples.append(zscan(tuple(num_v), tuple(den_v)))
-        return _r3["assemble"](triples)
+                triples.append(sync(zscan(tuple(num_v), tuple(den_v))))
+        return sync(_r3["assemble"](triples))
 
     def quotient(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext,
                  zi_ext):
@@ -890,6 +907,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
     import jax
     import jax.numpy as jnp
     from ..parallel import pipeline as par
+    from ..utils.sync import sync
 
     air = setup.air
     n, n_ext = air.n, air.n_ext
@@ -921,7 +939,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         t_stage.__enter__()
         # ---- round 1 --------------------------------------------------
         cm1_n = shard(gl.from_u64_np(cm1_np.astype(np.uint64)))
-        cm1_ext = par.lde_sharded(cm1_n, air.n_bits_ext, mesh)
+        cm1_ext = sync(par.lde_sharded(cm1_n, air.n_bits_ext, mesh))
         tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
         root1 = scheme.root(tree1)
         transcript.put(root1)
@@ -945,7 +963,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
             assert int(bad_total) == 0, \
                 "plookup: f contains values missing from t"
         cm2_n = shard(cm2_n)
-        cm2_ext = par.lde_sharded(cm2_n, air.n_bits_ext, mesh) \
+        cm2_ext = sync(par.lde_sharded(cm2_n, air.n_bits_ext, mesh)) \
             if air.cm2_width else gl.zeros((n_ext, 0))
         tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
         root2 = scheme.root(tree2)
@@ -972,7 +990,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
             sections_n["const"], cm1_n, cm2_n,
             _challenges_array(challenges), publics_arr, x_n, l1_n,
             zscan=mesh_zscan))
-        cm3_ext = par.lde_sharded(cm3_n, air.n_bits_ext, mesh) \
+        cm3_ext = sync(par.lde_sharded(cm3_n, air.n_bits_ext, mesh)) \
             if air.cm3_width else gl.zeros((n_ext, 0))
         tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
         root3 = scheme.root(tree3)
@@ -987,10 +1005,11 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         jits = get_air_jits(air)
         publics_arr = gl.from_u64_np(np.array(publics + [0],
                                               dtype=np.uint64))
-        cm4_ext = jits["quotient"](sections_ext["const"], cm1_ext,
-                                   sections_ext["cm2"], cm3_ext,
-                                   _challenges_array(challenges),
-                                   publics_arr, x_ext, l1_ext, zi_ext)
+        cm4_ext = sync(jits["quotient"](sections_ext["const"], cm1_ext,
+                                        sections_ext["cm2"], cm3_ext,
+                                        _challenges_array(challenges),
+                                        publics_arr, x_ext, l1_ext,
+                                        zi_ext))
         tree4 = scheme.merkelize(cm4_ext, air.cm4_width)
         root4 = scheme.root(tree4)
         transcript.put(root4)
@@ -1006,6 +1025,7 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         challenges[CH_V2] = _challenge_triple(transcript)
         _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
                                   publics_arr, x_ext, l1_ext)
+        sync(fri_pol)
 
         t_stage.__exit__(None, None, None)
         t_stage = timer("stark.mesh_fri", log=True)

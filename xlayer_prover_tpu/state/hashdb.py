@@ -172,6 +172,26 @@ class HashDB:
         """Bulk sub-trie read at a consolidated root (readTree RPC)."""
         return Smt(self.db).read_tree(state_root, keys)
 
+    def write_tree(self, old_root, key_values, persistent: bool = True):
+        """Bulk key-value write from old_root; returns the new root
+        (HashDBInterface::writeTree, hashdb_interface.hpp:38 — the
+        stateless flow's bulk state import).  key_values: iterable of
+        (key4, value_int).  persistent=False stages the nodes in a batch
+        overlay ("__writeTree__") instead of the backing db, mirroring
+        the reference's persistence flag (database_64.cpp:298-430)."""
+        store = self.db if persistent \
+            else self._store("__writeTree__")
+        smt = Smt(store)
+        root = tuple(int(v) for v in old_root)
+        for key, value in key_values:
+            root = tuple(smt.set(root, key, int(value)).new_root)
+        if persistent and any(root):
+            self.latest_root = root
+            update = getattr(self.db, "update_state_root", None)
+            if update is not None:
+                update(root)
+        return root
+
     def get_flush_data(self, flush_id: int):
         """The sequencer's flush-recovery protocol (getFlushData RPC):
         returns (stored_flush_id, nodes, programs) persisted at that

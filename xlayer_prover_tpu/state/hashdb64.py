@@ -608,6 +608,36 @@ class HashDB64:
         self.db64.flush()
         return root
 
+    def write_tree(self, old_root, key_values, persistent: bool = True):
+        """Bulk key-value write from old_root -> new consolidated root
+        (Database64::WriteTree, database_64.cpp:298-430): the old root
+        must be the latest consolidated version (or zero on an empty
+        tree); writes land as one new KV-history version."""
+        old_root = tuple(int(v) for v in old_root)
+        kvs = {}
+        for key, value in key_values:
+            kvs[tuple(int(v) for v in key)] = int(value)
+        if not kvs:
+            raise ValueError("writeTree called with no keyValues "
+                             "(database_64.cpp:306-310)")
+        if any(old_root) and old_root != self.sm.last_consolidated:
+            raise ValueError(
+                "writeTree old root is not the latest consolidated "
+                f"version (database_64.cpp:344-348): {old_root} != "
+                f"{self.sm.last_consolidated}")
+        new_root = self.sm.smt.set_many(old_root, kvs)
+        packed_kvs = {}
+        for k, v in kvs.items():
+            packed = 0
+            for j in range(4):
+                packed |= int(k[j]) << (64 * j)
+            packed_kvs[packed] = v
+        self.db64.write_kv_version(packed_kvs)
+        self.sm.last_consolidated = new_root
+        if persistent:
+            self.db64.flush()
+        return new_root
+
     def consolidate_virtual(self, vroot4) -> Optional[tuple]:
         """Resolve a virtual root to its consolidated real root (the
         ConsolidateState RPC): find the batch publishing that root."""
