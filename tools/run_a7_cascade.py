@@ -49,6 +49,70 @@ REF_SROM = "/root/reference/config/scripts/storage_sm_rom.json"
 VEC = "/root/reference/testvectors/e2e/fork_9/input_executor_{}.json"
 
 
+def build_devnet_inputs(engine, n_batches: int, chain_id: int = 1001):
+    """n REAL chained batches through the fork_9 ROM: batch k carries one
+    signed legacy transfer at nonce k, and each input's pre-state is the
+    post-state of batch k-1 — so newStateRoot_k == oldStateRoot_{k+1} and
+    the aggregation chain rule (zkevm_chain_spec link) binds for real.
+    Deterministic: workers rebuild identical inputs (planning passes are
+    a few hundred ROM steps each).
+
+    The reference's A.7 vectors (input_executor_0..3) also chain, but
+    vectors 2/3 need a 2^17 slot (1322 binary ops); this builder gives a
+    chained quad that fits 2^14-2^15 so the cascade completes in-round."""
+    from xlayer_prover_tpu.executor.input import BatchInput
+    from xlayer_prover_tpu.state.datastream import (batch_to_l2_data,
+                                                    datastream2batch)
+    from xlayer_prover_tpu.state.witness import witness2db
+    from xlayer_prover_tpu.utils import devnet
+
+    priv1, priv2 = 0xA11CE, 0xB0B
+    a1, a2 = devnet.address_of(priv1), devnet.address_of(priv2)
+    g = devnet.build_genesis([
+        devnet.Account(address=a1, balance=10 ** 18),
+        devnet.Account(address=a2, balance=5)])
+    wres = witness2db(devnet.encode_witness(g))
+    nodes = {k: list(v) for k, v in wres.db.items()}
+    programs = {k: bytes(v) for k, v in wres.programs.items()}
+    state_root = wres.state_root
+    acc_hash = 0
+    inputs = []
+    for k in range(n_batches):
+        tx = devnet.sign_legacy_tx(nonce=k, gas_price=10 ** 9, gas=21000,
+                                   to=a2, value=1000 + k, data=b"",
+                                   chain_id=chain_id, priv=priv1)
+        batch = datastream2batch(devnet.encode_datastream(
+            batch_number=k + 1, chain_id=chain_id, fork_id=9, coinbase=a2,
+            blocks=[{"block_number": k + 1, "timestamp": 100 * (k + 1),
+                     "delta_timestamp": 100, "l1_info_tree_index": 0,
+                     "txs": [tx]}]))
+        inp = BatchInput(old_state_root=state_root,
+                         old_acc_input_hash=acc_hash, old_batch_num=k,
+                         chain_id=chain_id, fork_id=9,
+                         batch_l2_data=batch_to_l2_data(batch),
+                         sequencer_addr=a2,
+                         timestamp_limit=200 * (k + 1))
+        inp.db_raw = dict(nodes)
+        inp.programs_raw = dict(programs)
+        inputs.append(inp)
+        # planning pass: execute batch k to chain batch k+1's pre-state
+        if k + 1 < n_batches:
+            res = engine.execute_only(inp, batch_uuid=f"plan-{k}")
+            pub = [int(p) for p in res.publics]
+            state_root = 0
+            acc_hash = 0
+            for i in range(8):
+                state_root |= pub[19 + i] << (32 * i)
+                acc_hash |= pub[27 + i] << (32 * i)
+            store = res.ctx.hashdb.batches.get(f"plan-{k}")
+            if store is not None:
+                for kq, v in store.overlay.items():
+                    nodes[kq] = list(v)
+                for kq, d in store.programs.items():
+                    programs[kq] = bytes(d)
+    return inputs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-bits", type=int, default=17,
@@ -62,8 +126,17 @@ def main():
     ap.add_argument("--worker", default=None,
                     help="run ONE stage and exit: batch:K | lift:K | "
                          "agg:01 | agg:23 | agg:root")
+    ap.add_argument("--limb-bits", type=int, default=16,
+                    help="arith limb width; the 2^16 range table needs "
+                         "n_bits >= 16 — use 8 for 2^14/2^15 slots")
+    ap.add_argument("--devnet", type=int, default=0,
+                    help="use N synthetic chained devnet batches instead "
+                         "of the reference vectors (fits 2^14-2^15 slots)")
     args = ap.parse_args()
-    vecs = [int(v) for v in args.vectors.split(",")]
+    if args.devnet:
+        vecs = [f"dev{k}" for k in range(args.devnet)]
+    else:
+        vecs = [int(v) for v in args.vectors.split(",")]
 
     from xlayer_prover_tpu.executor.input import BatchInput
     from xlayer_prover_tpu.executor.rom import Rom
@@ -83,6 +156,7 @@ def main():
         "backend": jax.default_backend(),
         "n_bits": args.n_bits,
         "n_queries": args.n_queries,
+        "limb_bits": args.limb_bits,
         "vectors": vecs,
         "stages": {},
         "status": "running",
@@ -160,9 +234,19 @@ def main():
     rom = Rom.load_fork(9)
     srom = StorageRom.load_default()
     engine = BatchProver(rom, n_bits=args.n_bits, chunk_bits=4,
-                         limb_bits=16, n_queries=args.n_queries,
+                         limb_bits=args.limb_bits, n_queries=args.n_queries,
                          max_steps=1 << (args.n_bits - 1),
                          storage_rom=srom)
+
+    _devnet_inputs = None
+
+    def load_input(k: int) -> "BatchInput":
+        nonlocal _devnet_inputs
+        if args.devnet:
+            if _devnet_inputs is None:
+                _devnet_inputs = build_devnet_inputs(engine, args.devnet)
+            return _devnet_inputs[k]
+        return BatchInput.load(VEC.format(vecs[k]))
 
     if args.worker:
         kind, _, arg = args.worker.partition(":")
@@ -182,7 +266,7 @@ def main():
             k = int(arg)
             name = f"batch_proof_{k}v{vecs[k]}"
             if read_stage(name) is None:
-                inp = BatchInput.load(VEC.format(vecs[k]))
+                inp = load_input(k)
                 proof, _ctx = engine.prove(inp, batch_uuid=f"a7-{k}")
                 assert verifier.verify(engine.air, engine.setup().verkey,
                                        proof)
@@ -218,7 +302,7 @@ def main():
     batch_proofs = []
     publics_chain = []
     for k, v in enumerate(vecs):
-        inp = BatchInput.load(VEC.format(v))
+        inp = load_input(k)
 
         def prove_one(inp=inp, k=k):
             proof, _ctx = engine.prove(inp, batch_uuid=f"a7-{k}")
