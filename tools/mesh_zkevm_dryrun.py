@@ -23,14 +23,15 @@ def main():
     os.environ.setdefault(
         "XLA_FLAGS",
         f"--xla_force_host_platform_device_count={n_devices}")
-    # jitted rounds under the mesh: eager SPMD ops enter collectives
-    # per-thread and trip XLA's 40 s CPU rendezvous abort on busy hosts
-    os.environ.setdefault("XLAYER_PROVER_JIT_ROUNDS", "1")
-    # strict compile/execute serialization: JAX async dispatch lets the
-    # next graph's multi-minute XLA compile run concurrently with an
-    # in-flight collective, starving its device threads past the
-    # hardcoded 40 s CPU rendezvous abort (utils/sync.py; this exact
-    # abort killed the r4 dryrun).  AOT-compile first, execute serially.
+    # On the CPU backend the mesh proof runs the HYBRID pipeline (host
+    # expression evaluation + sharded structural stages): XLA:CPU
+    # executes the traced zkEVM constraint mega-fusions pathologically
+    # slowly (~30 CPU-min for ONE per-lookup graph at 2^14 — measured
+    # r5), and its hardcoded 40 s collective-rendezvous abort kills any
+    # run that overlaps such a compile with an in-flight collective
+    # (the r4 failure).  Do NOT force XLAYER_PROVER_JIT_ROUNDS here.
+    # Strict compile/execute serialization stays on as a belt: no
+    # dispatch overlaps a compile (utils/sync.py).
     os.environ.setdefault("XLAYER_PROVER_SYNC_DISPATCH", "1")
     import jax
     # MUST run before any device query: the first backend touch pins the

@@ -313,8 +313,14 @@ def get_air_jits(air):
                 fts = [sync(fn(*args))
                        for fn in aot_warm(_r2["ft"], args)]
             else:
+                # compile-only in the pool (overlaps the remote compile
+                # RTTs), then dispatch in-order — executing from pool
+                # threads bought nothing on-device and is the exact
+                # overlap the CPU rendezvous abort punishes
                 with ThreadPoolExecutor(max_workers=8) as pool:
-                    fts = list(pool.map(lambda fn: fn(*args), _r2["ft"]))
+                    list(pool.map(lambda fn: fn.lower(*args).compile(),
+                                  _r2["ft"]))
+                fts = [fn(*args) for fn in _r2["ft"]]
             _r2["warm"] = True
         else:
             fts = [sync(fn(*args)) for fn in _r2["ft"]]
@@ -403,17 +409,28 @@ def get_air_jits(air):
         _r3["im_idx"] = im_idx
         _r3["conn_z_idx"] = conn_z_idx
 
-        def ims_fn(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
-            """-> (im triples in im_idx order, conn (num, den) pairs)."""
-            env = _mk_env(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n)
-            im_out = []
-            for (_col, expr) in air.im_defs:
+        # ONE graph per auto-committed im and per connection, NOT one
+        # monolith: the fused ims graph of the zkEVM composite was a
+        # 5.97 MB MLIR module that OOM-killed (SIGKILL) the remote TPU
+        # compile helper (same failure class the r3 verdict recorded for
+        # the round-3 monolith; measured again r5 on the 2^16 run).
+        def mk_im(expr):
+            def f(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+                env = _mk_env(const_n, cm1_n, cm2_n, ch, publics, x_n,
+                              l1_n)
                 k, v = env.eval(expr)
                 triple = gl3.from_base(v) if k == "base" else v
-                im_out.append(_broad3(triple))
-            conn_nd = []
-            for (ci, num_factors, den_factors) in conn_jobs:
+                return _broad3(triple)
+            return maybe_jit(f)
+
+        def mk_conn(ci, num_factors, den_factors):
+            def f(const_n, cm1_n, cm2_n, ch, publics, x_n, l1_n):
+                """-> (group-product triples for this connection in
+                emission order, (num_final, den_final))."""
+                env = _mk_env(const_n, cm1_n, cm2_n, ch, publics, x_n,
+                              l1_n)
                 groups = ci.factor_groups()
+                im_out = []
                 finals = []
                 for ims, factors in ((ci.num_ims, num_factors),
                                      (ci.den_ims, den_factors)):
@@ -427,10 +444,12 @@ def get_air_jits(air):
                         im_out.append(_broad3(prod))
                         prev = prod
                     finals.append(prev)
-                conn_nd.append((finals[0], finals[1]))
-            return im_out, conn_nd
-        _r3["ims"] = maybe_jit(ims_fn) \
-            if (air.im_defs or conn_jobs) else None
+                return im_out, (finals[0], finals[1])
+            return maybe_jit(f)
+
+        _r3["im_fns"] = [mk_im(expr) for (_col, expr) in air.im_defs]
+        _r3["conn_fns"] = [mk_conn(ci, nf, df)
+                           for (ci, nf, df) in conn_jobs]
 
         all_idx = _r3["z_idx"] + im_idx + conn_z_idx
 
@@ -453,52 +472,129 @@ def get_air_jits(air):
         # (see round2 / utils/sync.py).
         from concurrent.futures import ThreadPoolExecutor
         from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
-        if _r3["numden"] and not _r3.get("warm") and _use_jit_pipelines():
+        all_fns = _r3["numden"] + _r3["im_fns"] + _r3["conn_fns"]
+        if all_fns and not _r3.get("warm") and _use_jit_pipelines():
             if sync_dispatch_enabled():
-                nds = [sync(fn(*args))
-                       for fn in aot_warm(_r3["numden"], args)]
+                warmed = aot_warm(all_fns, args)
             else:
                 with ThreadPoolExecutor(max_workers=8) as pool:
-                    nds = list(pool.map(lambda fn: fn(*args),
-                                        _r3["numden"]))
+                    list(pool.map(lambda fn: fn.lower(*args).compile(),
+                                  all_fns))
+                warmed = all_fns
             _r3["warm"] = True
         else:
-            nds = [sync(fn(*args)) for fn in _r3["numden"]]
+            warmed = all_fns
+        n_nd = len(_r3["numden"])
+        n_im = len(_r3["im_fns"])
+        nds = [sync(fn(*args)) for fn in warmed[:n_nd]]
         triples = []
         for num_s, den_s in nds:
             triples.append(sync(zscan(tuple(num_s[k] for k in range(3)),
                                       tuple(den_s[k] for k in range(3)))))
-        if _r3["ims"] is not None:
-            im_out, conn_nd = _r3["ims"](*args)
-            sync(im_out)
-            triples.extend(tuple(t) for t in im_out)
-            for (num_v, den_v) in conn_nd:
-                triples.append(sync(zscan(tuple(num_v), tuple(den_v))))
+        im_triples = []
+        conn_triples = []
+        for fn in warmed[n_nd:n_nd + n_im]:
+            im_triples.append(tuple(sync(fn(*args))))
+        for fn in warmed[n_nd + n_im:]:
+            im_out, (num_v, den_v) = sync(fn(*args))
+            im_triples.extend(tuple(t) for t in im_out)
+            conn_triples.append(sync(zscan(tuple(num_v), tuple(den_v))))
+        triples.extend(im_triples)
+        triples.extend(conn_triples)
         return sync(_r3["assemble"](triples))
+
+    # The quotient runs as an ORCHESTRATOR of constraint-chunk graphs:
+    # tracing all_constraints of the zkEVM composite into one jit
+    # produces a multi-MB MLIR module of the same class that OOM-killed
+    # (SIGKILL) the remote TPU compile helper on the round-3 ims graph.
+    # Horner over vc is chunk-associative in exact field arithmetic —
+    # acc' = acc * vc^len(chunk) + Horner(chunk) — so the chunked value
+    # (and the proof bytes) are identical to the monolith's.
+    _q = {"built": False}
+    _QCHUNK = 24
+
+    def _q_build():
+        maybe_jit = jax.jit if _use_jit_pipelines() else (lambda f: f)
+        chunk_lists = [constraints[i:i + _QCHUNK]
+                       for i in range(0, len(constraints), _QCHUNK)]
+
+        def mk_qchunk(chunk):
+            def f(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext,
+                  l1_ext):
+                sections = {"const": const_ext, "cm1": cm1e,
+                            "cm2": cm2e, "cm3": cm3e}
+                pubs = [publics[i] for i in range(air.n_publics)]
+                env = EvalEnv(sections, _challenges_env(ch), pubs,
+                              x_ext, l1_ext, blowup)
+                vc = tuple(ch[CH_VC, k] for k in range(3))
+                acc = None
+                for c in chunk:
+                    val = env.eval_ext(c)
+                    acc = val if acc is None \
+                        else gl3.add(gl3.mul(acc, vc), val)
+                return tuple(jnp.broadcast_to(jnp.asarray(v), (n_ext,))
+                             for v in acc)
+            return maybe_jit(f)
+        _q["chunks"] = [(mk_qchunk(cl), len(cl)) for cl in chunk_lists]
+
+        def mk_combine(k_len):
+            def f(acc, chunk_val, ch):
+                vc = tuple(ch[CH_VC, kk] for kk in range(3))
+                e, base, vpow = k_len, vc, None
+                while e:
+                    if e & 1:
+                        vpow = base if vpow is None \
+                            else gl3.mul(vpow, base)
+                    base = gl3.mul(base, base)
+                    e >>= 1
+                return gl3.add(gl3.mul(acc, vpow), chunk_val)
+            return maybe_jit(f)
+        _q["mk_combine"] = mk_combine
+        _q["combine"] = {}
+
+        def qfinal(acc, ch, zi_ext):
+            q_vals = tuple(gl.mul(c, zi_ext) for c in acc)
+            q_coeffs = ntt.intt(gl3.stack_cols(q_vals), air.n_bits_ext)
+            shift_in = pow(shift_inv, n, P)
+            parts = []
+            cur_s = 1
+            for p_i in range(air.q_deg):
+                chunk = gl.mul_const(q_coeffs[p_i * n:(p_i + 1) * n],
+                                     cur_s)
+                cur_s = (cur_s * shift_in) % P
+                chunk = jnp.pad(chunk, ((0, n_ext - n), (0, 0)))
+                parts.append(ntt.ntt(chunk, air.n_bits_ext))
+            return jnp.concatenate(parts, axis=1)
+        _q["final"] = maybe_jit(qfinal)
+        _q["built"] = True
 
     def quotient(const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext,
                  zi_ext):
-        sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
-                    "cm3": cm3e}
-        pubs = [publics[i] for i in range(air.n_publics)]
-        env = EvalEnv(sections, _challenges_env(ch), pubs, x_ext, l1_ext,
-                      blowup)
-        vc = tuple(ch[CH_VC, k] for k in range(3))
+        if not _q["built"]:
+            _q_build()
+        from concurrent.futures import ThreadPoolExecutor
+        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
+        args8 = (const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext)
+        fns = [fn for fn, _l in _q["chunks"]]
+        if fns and not _q.get("warm") and _use_jit_pipelines():
+            if sync_dispatch_enabled():
+                aot_warm(fns, args8)
+            else:
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    list(pool.map(
+                        lambda fn: fn.lower(*args8).compile(), fns))
+            _q["warm"] = True
         acc = None
-        for c in constraints:
-            val = env.eval_ext(c)
-            acc = val if acc is None else gl3.add(gl3.mul(acc, vc), val)
-        q_vals = tuple(gl.mul(c, zi_ext) for c in acc)
-        q_coeffs = ntt.intt(gl3.stack_cols(q_vals), air.n_bits_ext)
-        shift_in = pow(shift_inv, n, P)
-        parts = []
-        cur_s = 1
-        for p_i in range(air.q_deg):
-            chunk = gl.mul_const(q_coeffs[p_i * n:(p_i + 1) * n], cur_s)
-            cur_s = (cur_s * shift_in) % P
-            chunk = jnp.pad(chunk, ((0, n_ext - n), (0, 0)))
-            parts.append(ntt.ntt(chunk, air.n_bits_ext))
-        return jnp.concatenate(parts, axis=1)
+        for fn, klen in _q["chunks"]:
+            cv = sync(fn(*args8))
+            if acc is None:
+                acc = cv
+            else:
+                comb = _q["combine"].get(klen)
+                if comb is None:
+                    comb = _q["combine"][klen] = _q["mk_combine"](klen)
+                acc = sync(comb(acc, cv, ch))
+        return sync(_q["final"](acc, ch, zi_ext))
 
     # distinct evaluation shifts appearing in the ev map (0 = xi itself)
     shifts = sorted({e.shift for e in air.ev_map})
@@ -560,7 +656,7 @@ def get_air_jits(air):
     # monolithic graphs that OOM-kill the remote compiler
     if _use_jit_pipelines():
         jits = {"round2": round2, "round3": round3,
-                "quotient": jax.jit(quotient), "round5": jax.jit(round5)}
+                "quotient": quotient, "round5": jax.jit(round5)}
     else:
         jits = {"round2": round2, "round3": round3,
                 "quotient": quotient, "round5": round5}
@@ -606,6 +702,14 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     host = (not _use_jit_pipelines()) and mesh is None
     scheme = get_scheme(air)
     if mesh is not None:
+        if not _use_jit_pipelines():
+            # CPU meshes: host expression evaluation + sharded structural
+            # stages.  XLA:CPU executes the traced constraint mega-fusions
+            # pathologically slowly (a single zkEVM per-lookup graph of
+            # ~29k fused HLO ops burned 30+ CPU-minutes at 2^14 — measured
+            # r5), so the full-jit mesh path is accelerator-only.
+            return _gen_proof_mesh_hybrid(setup, cm1_np, publics, mesh,
+                                          scheme)
         return _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme)
 
     transcript = scheme.transcript()
@@ -1034,6 +1138,245 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
         trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
         sources_main = [cm1_ext, sections_ext["cm2"], cm3_ext, cm4_ext,
                         sections_ext["const"]]
+        fri_steps_data, final_pol, _ys = fri_mod.prove(
+            transcript, fri_pol, air, trees_main, sources_main, scheme)
+        t_stage.__exit__(None, None, None)
+
+    return StarkProof(roots=[root1, root2, root3, root4],
+                      evals=evals,
+                      fri_steps=fri_steps_data,
+                      final_pol=final_pol,
+                      publics=publics)
+
+
+def _gen_proof_mesh_hybrid(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
+    """The CPU-mesh pipeline: host (numpy/glh) expression evaluation +
+    every structural stage sharded under the mesh.
+
+    Rationale (measured, round 5): XLA:CPU fuses a traced zkEVM
+    per-lookup expression graph into ~29k-instruction mega-fusions whose
+    execution burned 30+ CPU-minutes for ONE lookup at 2^14 — the
+    full-jit mesh path (_gen_proof_mesh) is therefore accelerator-only.
+    Everything that carries the multi-chip design still runs sharded
+    here: the LDE's all-to-all reshards (par.lde_sharded), the Merkle
+    builds over row-sharded leaves, the distributed lax.sort h1/h2
+    split, the shard_map grand-product scan (par.
+    build_grand_product_sharded), and the FRI folds + on-device query
+    gathers (SURVEY §2.7 P8; friProve.cpp:153-178).  Expression values
+    are identical on every path, so the proof byte-equals the
+    single-device host proof (asserted by tools/mesh_zkevm_dryrun.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..fields import glh
+    from ..parallel import pipeline as par
+    from ..utils.sync import sync
+
+    air = setup.air
+    n, n_ext = air.n, air.n_ext
+    blowup = n_ext // n
+    publics = [int(p) % P for p in publics]
+
+    transcript = scheme.transcript()
+    transcript.put(setup.verkey)
+    transcript.put(publics)
+
+    row = par.row_sharding(mesh)
+
+    def shard(arr):
+        return jax.device_put(arr, row)
+
+    x_n_np = gl.to_u64_np(_domain_x(air.n_bits))
+    x_ext_np = gl.to_u64_np(_domain_x(air.n_bits_ext, shift=gl.SHIFT))
+    l1_n_np = gl.to_u64_np(_l1_values_n(n))
+    l1_ext_np = gl.to_u64_np(_l1_values_ext(air))
+    zi_ext_np = gl.to_u64_np(_zi_values_ext(air))
+    challenges = {}
+
+    split_jit = jax.jit(lookup.calculate_h1h2_device)
+    gp = jax.jit(par.build_grand_product_sharded(mesh))
+
+    with mesh:
+        # ---- round 1: sharded LDE + sharded Merkle --------------------
+        t_stage = timer("stark.mesh_r1", log=True)
+        t_stage.__enter__()
+        cm1_np = cm1_np.astype(np.uint64)
+        cm1_ext = sync(par.lde_sharded(shard(gl.from_u64_np(cm1_np)),
+                                       air.n_bits_ext, mesh))
+        tree1 = scheme.merkelize(cm1_ext, air.cm1_width)
+        root1 = scheme.root(tree1)
+        transcript.put(root1)
+        t_stage.__exit__(None, None, None)
+
+        # ---- round 2: host f/t eval + mesh lax.sort split -------------
+        t_stage = timer("stark.mesh_r2", log=True)
+        t_stage.__enter__()
+        challenges[CH_U] = _challenge_triple(transcript)
+        challenges[CH_DEFVAL] = _challenge_triple(transcript)
+
+        def env_n():
+            secs = {"const": setup.const_n_np, "cm1": cm1_np}
+            if cm2_np is not None:
+                secs["cm2"] = cm2_np
+            return EvalEnv(secs, _host_challenges(challenges),
+                           [np.uint64(p) for p in publics],
+                           x_n_np, l1_n_np, 1, host=True)
+
+        cm2_np = None
+        e = env_n()
+        cm2_np = np.zeros((n, air.cm2_width), dtype=np.uint64)
+        for pu in air.plookups:
+            f_np = _expr_to_np(e, pu.f_exp)
+            t_np = _expr_to_np(e, pu.t_exp)
+            h1, h2, bad = sync(split_jit(shard(jnp.asarray(f_np)),
+                                         shard(jnp.asarray(t_np))))
+            assert int(bad) == 0, \
+                "plookup: f contains values missing from t"
+            d = f_np.shape[1]
+            cm2_np[:, pu.h1_col.index:pu.h1_col.index + d] = np.asarray(h1)
+            cm2_np[:, pu.h2_col.index:pu.h2_col.index + d] = np.asarray(h2)
+        if air.cm2_width:
+            cm2_ext = sync(par.lde_sharded(shard(gl.from_u64_np(cm2_np)),
+                                           air.n_bits_ext, mesh))
+        else:
+            cm2_ext = gl.zeros((n_ext, 0))
+        tree2 = scheme.merkelize(cm2_ext, air.cm2_width)
+        root2 = scheme.root(tree2)
+        transcript.put(root2)
+        t_stage.__exit__(None, None, None)
+
+        # ---- round 3: host num/den eval + shard_map grand products ----
+        t_stage = timer("stark.mesh_r3", log=True)
+        t_stage.__enter__()
+        challenges[CH_GAMMA] = _challenge_triple(transcript)
+        challenges[CH_BETA] = _challenge_triple(transcript)
+        e = env_n()
+        gamma = air_mod.Challenge(CH_GAMMA)
+        beta = air_mod.Challenge(CH_BETA)
+        one_plus_beta = beta + 1
+        gb = gamma * one_plus_beta
+
+        z_triples = []
+        for pu in air.plookups:
+            f, t = pu.f_exp, pu.t_exp
+            h1c, h2c = pu.h1_col, pu.h2_col
+            num = one_plus_beta * (gamma + f) \
+                * (gb + t + beta * air_mod._shift_expr(t))
+            den = (gb + h1c + beta * h2c) \
+                * (gb + h2c + beta * h1c.shifted())
+            z_triples.append((pu.z_col, e.eval_ext(num), e.eval_ext(den)))
+        for pe in air.permutations:
+            z_triples.append((pe.z_col, e.eval_ext(pe.f_exp + gamma),
+                              e.eval_ext(pe.t_exp + gamma)))
+        im_fills = []
+        for ci in air.connections:
+            xx = air_mod.XSymbol()
+            num_factors = [c + beta * k * xx + gamma
+                           for c, k in zip(ci.cols, ci.k_coeffs)]
+            den_factors = [c + beta * s + gamma
+                           for c, s in zip(ci.cols, ci.s_cols)]
+            if not ci.num_ims:
+                num = air_mod.Const(1)
+                den = air_mod.Const(1)
+                for fn, fd in zip(num_factors, den_factors):
+                    num = num * fn
+                    den = den * fd
+                z_triples.append((ci.z_col, e.eval_ext(num),
+                                  e.eval_ext(den)))
+            else:
+                groups = ci.factor_groups()
+                finals = []
+                for ims, factors in ((ci.num_ims, num_factors),
+                                     (ci.den_ims, den_factors)):
+                    vals = [e.eval_ext(fa) for fa in factors]
+                    vals = [tuple(np.asarray(c, dtype=np.uint64)
+                                  for c in v) for v in vals]
+                    prev = None
+                    for gi, grp in enumerate(groups):
+                        prod = prev
+                        for fi in grp:
+                            prod = vals[fi] if prod is None \
+                                else glh.mul3(prod, vals[fi])
+                        im_fills.append((ims[gi], prod))
+                        prev = prod
+                    finals.append(prev)
+                z_triples.append((ci.z_col, finals[0], finals[1]))
+        for (col, expr) in air.im_defs:
+            k, v = e.eval(expr)
+            if k == "base":
+                v = np.asarray(v, dtype=np.uint64) \
+                    + np.zeros(n, dtype=np.uint64)
+                triple = (v, np.zeros(n, dtype=np.uint64),
+                          np.zeros(n, dtype=np.uint64))
+            else:
+                triple = v
+            im_fills.append((col, triple))
+
+        cm3_np = np.zeros((n, air.cm3_width), dtype=np.uint64)
+        for (col, triple) in im_fills:
+            for k in range(3):
+                cm3_np[:, col.index + k] = np.asarray(triple[k],
+                                                      dtype=np.uint64)
+        spec1 = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(par.AXIS))
+        for (zcol, num_v, den_v) in z_triples:
+            num_d = tuple(jax.device_put(
+                np.broadcast_to(np.asarray(c, dtype=np.uint64), (n,)),
+                spec1) for c in num_v)
+            den_d = tuple(jax.device_put(
+                np.broadcast_to(np.asarray(c, dtype=np.uint64), (n,)),
+                spec1) for c in den_v)
+            z = sync(gp(num_d, den_d))
+            for k in range(3):
+                cm3_np[:, zcol.index + k] = np.asarray(z[k],
+                                                      dtype=np.uint64)
+        if air.cm3_width:
+            cm3_ext = sync(par.lde_sharded(shard(gl.from_u64_np(cm3_np)),
+                                           air.n_bits_ext, mesh))
+        else:
+            cm3_ext = gl.zeros((n_ext, 0))
+        tree3 = scheme.merkelize(cm3_ext, air.cm3_width)
+        root3 = scheme.root(tree3)
+        transcript.put(root3)
+        t_stage.__exit__(None, None, None)
+
+        # ---- round 4: host constraint eval, sharded quotient NTTs -----
+        t_stage = timer("stark.mesh_r45", log=True)
+        t_stage.__enter__()
+        challenges[CH_VC] = _challenge_triple(transcript)
+        sections_ext_np = {"const": setup.const_ext_np,
+                           "cm1": gl.to_u64_np(cm1_ext),
+                           "cm2": gl.to_u64_np(cm2_ext),
+                           "cm3": gl.to_u64_np(cm3_ext)}
+        cm4_ext_dev = _host_quotient(
+            air, setup, sections_ext_np, challenges, publics,
+            gl.from_u64_np(x_ext_np), gl.from_u64_np(l1_ext_np),
+            gl.from_u64_np(zi_ext_np))
+        cm4_ext = sync(shard(cm4_ext_dev))
+        tree4 = scheme.merkelize(cm4_ext, air.cm4_width)
+        root4 = scheme.root(tree4)
+        transcript.put(root4)
+        sections_ext_np["cm4"] = gl.to_u64_np(cm4_ext)
+
+        # ---- round 5: host evals + DEEP polynomial --------------------
+        challenges[CH_XI] = _challenge_triple(transcript)
+        evals = _host_evals(air, sections_ext_np, challenges, blowup)
+        for ev in evals:
+            transcript.put(ev)
+        challenges[CH_V1] = _challenge_triple(transcript)
+        challenges[CH_V2] = _challenge_triple(transcript)
+        fri_pol_np = _host_fri_pol(air, sections_ext_np, challenges,
+                                   evals, x_ext_np)
+        fri_pol = tuple(jax.device_put(np.asarray(c, dtype=np.uint64),
+                                       spec1) for c in fri_pol_np)
+        t_stage.__exit__(None, None, None)
+
+        # ---- FRI: sharded folds + on-device query gathers -------------
+        t_stage = timer("stark.mesh_fri", log=True)
+        t_stage.__enter__()
+        trees_main = [tree1, tree2, tree3, tree4, setup.const_tree]
+        sources_main = [cm1_ext, cm2_ext, cm3_ext, cm4_ext,
+                        setup.const_ext_np]
         fri_steps_data, final_pol, _ys = fri_mod.prove(
             transcript, fri_pol, air, trees_main, sources_main, scheme)
         t_stage.__exit__(None, None, None)
