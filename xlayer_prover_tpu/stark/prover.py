@@ -307,7 +307,8 @@ def get_air_jits(air):
         # strictly serial: concurrent collective executions + compiles
         # starve XLA's hardcoded 40 s CPU rendezvous (utils/sync.py).
         from concurrent.futures import ThreadPoolExecutor
-        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
+        from ..utils.sync import (aot_warm, compile_workers, sync,
+                                  sync_dispatch_enabled)
         if _r2["ft"] and not _r2.get("warm") and _use_jit_pipelines():
             if sync_dispatch_enabled():
                 fts = [sync(fn(*args))
@@ -317,7 +318,7 @@ def get_air_jits(air):
                 # RTTs), then dispatch in-order — executing from pool
                 # threads bought nothing on-device and is the exact
                 # overlap the CPU rendezvous abort punishes
-                with ThreadPoolExecutor(max_workers=8) as pool:
+                with ThreadPoolExecutor(max_workers=compile_workers()) as pool:
                     list(pool.map(lambda fn: fn.lower(*args).compile(),
                                   _r2["ft"]))
                 fts = [fn(*args) for fn in _r2["ft"]]
@@ -471,13 +472,14 @@ def get_air_jits(air):
         # Sync mode: AOT compile-only warm + strictly serial execution
         # (see round2 / utils/sync.py).
         from concurrent.futures import ThreadPoolExecutor
-        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
+        from ..utils.sync import (aot_warm, compile_workers, sync,
+                                  sync_dispatch_enabled)
         all_fns = _r3["numden"] + _r3["im_fns"] + _r3["conn_fns"]
         if all_fns and not _r3.get("warm") and _use_jit_pipelines():
             if sync_dispatch_enabled():
                 warmed = aot_warm(all_fns, args)
             else:
-                with ThreadPoolExecutor(max_workers=8) as pool:
+                with ThreadPoolExecutor(max_workers=compile_workers()) as pool:
                     list(pool.map(lambda fn: fn.lower(*args).compile(),
                                   all_fns))
                 warmed = all_fns
@@ -573,14 +575,15 @@ def get_air_jits(air):
         if not _q["built"]:
             _q_build()
         from concurrent.futures import ThreadPoolExecutor
-        from ..utils.sync import aot_warm, sync, sync_dispatch_enabled
+        from ..utils.sync import (aot_warm, compile_workers, sync,
+                                  sync_dispatch_enabled)
         args8 = (const_ext, cm1e, cm2e, cm3e, ch, publics, x_ext, l1_ext)
         fns = [fn for fn, _l in _q["chunks"]]
         if fns and not _q.get("warm") and _use_jit_pipelines():
             if sync_dispatch_enabled():
                 aot_warm(fns, args8)
             else:
-                with ThreadPoolExecutor(max_workers=8) as pool:
+                with ThreadPoolExecutor(max_workers=compile_workers()) as pool:
                     list(pool.map(
                         lambda fn: fn.lower(*args8).compile(), fns))
             _q["warm"] = True
@@ -599,67 +602,148 @@ def get_air_jits(air):
     # distinct evaluation shifts appearing in the ev map (0 = xi itself)
     shifts = sorted({e.shift for e in air.ev_map})
 
+    # Round 5 is ALSO an orchestrator of ev-map-chunk graphs: the zkEVM
+    # composite's ev map has thousands of entries, putting the monolith
+    # in the same multi-MB-MLIR class that OOM-kills the remote TPU
+    # compile helper (see quotient/ims).  Chunking is value-exact: evals
+    # are per-entry independent; the DEEP accumulators chunk with
+    # v1^offset factors (static-exponent square-and-multiply) and the
+    # per-shift partial sums re-associate exactly in the field.
+    _r5 = {"built": False}
+    _EVCHUNK = 128
+
+    def _r5_build():
+        maybe_jit = jax.jit if _use_jit_pipelines() else (lambda f: f)
+        ev_entries = list(air.ev_map)
+        chunk_list = [(i, ev_entries[i:i + _EVCHUNK])
+                      for i in range(0, len(ev_entries), _EVCHUNK)]
+
+        def weights_fn(ch):
+            xi = tuple(ch[CH_XI, k] for k in range(3))
+            return tuple(_lagrange_weights_traced(
+                gl3.mul_base(xi, jnp.uint64((pow(w_n, s_, P) * shift_inv)
+                                            % P)), air.n_bits)
+                for s_ in shifts)
+        _r5["weights"] = maybe_jit(weights_fn)
+
+        def mk_evchunk(chunk):
+            def f(const_ext, cm1e, cm2e, cm3e, cm4e, ch, weights):
+                sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
+                            "cm3": cm3e, "cm4": cm4e}
+                evals = []
+                for entry in chunk:
+                    sec = sections[entry.section]
+                    samp = sec[::blowup]
+                    w3 = weights[shifts.index(entry.shift)]
+                    if entry.dim == 1:
+                        col = samp[:, entry.index]
+                        prod = tuple(gl.mul(w, col) for w in w3)
+                    else:
+                        col3 = tuple(samp[:, entry.index + k]
+                                     for k in range(3))
+                        prod = gl3.mul(w3, col3)
+                    evals.append(jnp.stack(list(
+                        gl3.sum_axis(prod, axis=0))))
+                return jnp.stack(evals)        # (len(chunk), 3)
+            return maybe_jit(f)
+        _r5["ev_chunks"] = [mk_evchunk(c) for (_o, c) in chunk_list]
+
+        def mk_fpchunk(offset, chunk):
+            def f(const_ext, cm1e, cm2e, cm3e, cm4e, ch, evals_arr):
+                sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
+                            "cm3": cm3e, "cm4": cm4e}
+                v1 = tuple(ch[CH_V1, k] for k in range(3))
+                e, base = offset, v1
+                v1_pow = gl3.ones(())
+                while e:
+                    if e & 1:
+                        v1_pow = gl3.mul(v1_pow, base)
+                    base = gl3.mul(base, base)
+                    e >>= 1
+                accs = {s_: gl3.zeros((n_ext,)) for s_ in shifts}
+                for j, entry in enumerate(chunk):
+                    sec = sections[entry.section]
+                    if entry.dim == 1:
+                        colv = gl3.from_base(sec[:, entry.index])
+                    else:
+                        colv = tuple(sec[:, entry.index + k]
+                                     for k in range(3))
+                    ev3 = tuple(evals_arr[offset + j, k]
+                                for k in range(3))
+                    term = gl3.mul(gl3.sub(colv, ev3), v1_pow)
+                    accs[entry.shift] = gl3.add(accs[entry.shift], term)
+                    v1_pow = gl3.mul(v1_pow, v1)
+                return tuple(accs[s_] for s_ in shifts)
+            return maybe_jit(f)
+        _r5["fp_chunks"] = [mk_fpchunk(o, c) for (o, c) in chunk_list]
+
+        def acc_add(a, b):
+            return tuple(gl3.add(x, y) for x, y in zip(a, b))
+        _r5["acc_add"] = maybe_jit(acc_add)
+
+        def fp_final(accs, ch, x_ext):
+            xi = tuple(ch[CH_XI, k] for k in range(3))
+            v2 = tuple(ch[CH_V2, k] for k in range(3))
+            fri_pol = gl3.zeros((n_ext,))
+            v2_pow = gl3.ones(())
+            for si_, s_ in enumerate(shifts):
+                pt = gl3.mul_base(xi, jnp.uint64(pow(w_n, s_, P)))
+                xdiv = _x_div_x_sub_traced(x_ext, pt)
+                fri_pol = gl3.add(
+                    fri_pol, gl3.mul(gl3.mul(accs[si_], xdiv), v2_pow))
+                v2_pow = gl3.mul(v2_pow, v2)
+            return fri_pol
+        _r5["fp_final"] = maybe_jit(fp_final)
+        _r5["built"] = True
+
     def round5(const_ext, cm1e, cm2e, cm3e, cm4e, ch, publics, x_ext,
-               l1_ext):
-        sections = {"const": const_ext, "cm1": cm1e, "cm2": cm2e,
-                    "cm3": cm3e, "cm4": cm4e}
-        xi = tuple(ch[CH_XI, k] for k in range(3))
-        # per-shift Lagrange weights at w^s * xi
-        weights_by_shift = {}
-        for s_ in shifts:
-            pt = gl3.mul_base(xi, jnp.uint64((pow(w_n, s_, P) * shift_inv) % P))
-            weights_by_shift[s_] = _lagrange_weights_traced(pt, air.n_bits)
-
-        evals = []
-        for entry in air.ev_map:
-            sec = sections[entry.section]
-            samp = sec[::blowup]
-            weights = weights_by_shift[entry.shift]
-            if entry.dim == 1:
-                col = samp[:, entry.index]
-                prod = tuple(gl.mul(w, col) for w in weights)
+               l1_ext, phase="both", evals_arr=None):
+        if not _r5["built"]:
+            _r5_build()
+        from concurrent.futures import ThreadPoolExecutor
+        from ..utils.sync import (aot_warm, compile_workers, sync,
+                                  sync_dispatch_enabled)
+        secs5 = (const_ext, cm1e, cm2e, cm3e, cm4e)
+        if evals_arr is None:
+            weights = sync(_r5["weights"](ch))
+            ev_args = secs5 + (ch, weights)
+            if not _r5.get("warm_ev") and _use_jit_pipelines():
+                if sync_dispatch_enabled():
+                    aot_warm(_r5["ev_chunks"], ev_args)
+                else:
+                    with ThreadPoolExecutor(max_workers=compile_workers()) as pool:
+                        list(pool.map(lambda fn:
+                                      fn.lower(*ev_args).compile(),
+                                      _r5["ev_chunks"]))
+                _r5["warm_ev"] = True
+            parts = [sync(fn(*ev_args)) for fn in _r5["ev_chunks"]]
+            evals_arr = parts[0] if len(parts) == 1 \
+                else jnp.concatenate(parts, axis=0)
+        if phase == "evals":
+            return evals_arr, None
+        fp_args = secs5 + (ch, evals_arr)
+        if not _r5.get("warm_fp") and _use_jit_pipelines():
+            if sync_dispatch_enabled():
+                aot_warm(_r5["fp_chunks"], fp_args)
             else:
-                col3 = tuple(samp[:, entry.index + k] for k in range(3))
-                prod = gl3.mul(weights, col3)
-            ev = gl3.sum_axis(prod, axis=0)
-            evals.append(jnp.stack(list(ev)))
-        evals_arr = jnp.stack(evals)               # (nEv, 3)
-
-        v1 = tuple(ch[CH_V1, k] for k in range(3))
-        v2 = tuple(ch[CH_V2, k] for k in range(3))
-
-        accs = {s_: gl3.zeros((n_ext,)) for s_ in shifts}
-        v1_pow = gl3.ones(())
-        for i, entry in enumerate(air.ev_map):
-            sec = sections[entry.section]
-            if entry.dim == 1:
-                colv = gl3.from_base(sec[:, entry.index])
-            else:
-                colv = tuple(sec[:, entry.index + k] for k in range(3))
-            ev3 = tuple(evals_arr[i, k] for k in range(3))
-            term = gl3.mul(gl3.sub(colv, ev3), v1_pow)
-            accs[entry.shift] = gl3.add(accs[entry.shift], term)
-            v1_pow = gl3.mul(v1_pow, v1)
-
-        fri_pol = gl3.zeros((n_ext,))
-        v2_pow = gl3.ones(())
-        for s_ in shifts:
-            pt = gl3.mul_base(xi, jnp.uint64(pow(w_n, s_, P)))
-            xdiv = _x_div_x_sub_traced(x_ext, pt)
-            fri_pol = gl3.add(fri_pol,
-                              gl3.mul(gl3.mul(accs[s_], xdiv), v2_pow))
-            v2_pow = gl3.mul(v2_pow, v2)
+                with ThreadPoolExecutor(max_workers=compile_workers()) as pool:
+                    list(pool.map(lambda fn:
+                                  fn.lower(*fp_args).compile(),
+                                  _r5["fp_chunks"]))
+            _r5["warm_fp"] = True
+        accs = None
+        for fn in _r5["fp_chunks"]:
+            part = sync(fn(*fp_args))
+            accs = part if accs is None \
+                else sync(_r5["acc_add"](accs, part))
+        fri_pol = sync(_r5["fp_final"](accs, ch, x_ext))
         return evals_arr, fri_pol
 
-    # round2/round3 are orchestrators managing their own (small) jits —
-    # wrapping them in jax.jit would inline everything back into the
-    # monolithic graphs that OOM-kill the remote compiler
-    if _use_jit_pipelines():
-        jits = {"round2": round2, "round3": round3,
-                "quotient": quotient, "round5": jax.jit(round5)}
-    else:
-        jits = {"round2": round2, "round3": round3,
-                "quotient": quotient, "round5": round5}
+    # round2/round3/quotient/round5 are orchestrators managing their own
+    # (small) jits — wrapping them in jax.jit would inline everything
+    # back into the monolithic graphs that OOM-kill the remote compiler
+    jits = {"round2": round2, "round3": round3,
+            "quotient": quotient, "round5": round5}
     _AIR_JITS[key] = (air, jits)
     return jits
 
@@ -958,14 +1042,16 @@ def gen_proof(setup: Setup, cm1_np: np.ndarray, publics,
     else:
         jits = get_air_jits(air)
         evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
-                                    publics_arr, x_ext, l1_ext)
+                                    publics_arr, x_ext, l1_ext,
+                                    phase="evals")
         evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
         for ev in evals:
             transcript.put(ev)
         challenges[CH_V1] = _challenge_triple(transcript)
         challenges[CH_V2] = _challenge_triple(transcript)
         _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
-                                  publics_arr, x_ext, l1_ext)
+                                  publics_arr, x_ext, l1_ext,
+                                  phase="fri", evals_arr=evals_arr)
 
     t_r5.__exit__(None, None, None)
 
@@ -1121,14 +1207,16 @@ def _gen_proof_mesh(setup, cm1_np, publics, mesh, scheme) -> StarkProof:
 
         challenges[CH_XI] = _challenge_triple(transcript)
         evals_arr, _ = _round5_with(jits, setup, sections_ext, challenges,
-                                    publics_arr, x_ext, l1_ext)
+                                    publics_arr, x_ext, l1_ext,
+                                    phase="evals")
         evals = [[int(v) for v in row] for row in np.asarray(evals_arr)]
         for ev in evals:
             transcript.put(ev)
         challenges[CH_V1] = _challenge_triple(transcript)
         challenges[CH_V2] = _challenge_triple(transcript)
         _, fri_pol = _round5_with(jits, setup, sections_ext, challenges,
-                                  publics_arr, x_ext, l1_ext)
+                                  publics_arr, x_ext, l1_ext,
+                                  phase="fri", evals_arr=evals_arr)
         sync(fri_pol)
 
         t_stage.__exit__(None, None, None)
@@ -1538,8 +1626,9 @@ def _challenges_array(challenges: dict):
 
 
 def _round5_with(jits, setup, sections_ext, challenges, publics_arr, x_ext,
-                 l1_ext):
+                 l1_ext, phase="both", evals_arr=None):
     return jits["round5"](sections_ext["const"], sections_ext["cm1"],
                           sections_ext["cm2"], sections_ext["cm3"],
                           sections_ext["cm4"], _challenges_array(challenges),
-                          publics_arr, x_ext, l1_ext)
+                          publics_arr, x_ext, l1_ext, phase=phase,
+                          evals_arr=evals_arr)

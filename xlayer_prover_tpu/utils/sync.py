@@ -22,6 +22,20 @@ from __future__ import annotations
 import os
 
 
+def compile_workers(default: int = 8) -> int:
+    """Concurrency for warm-compile thread pools (XLAYER_PROVER_COMPILE_WORKERS).
+
+    Each in-flight compile of a multi-MB MLIR module costs the compile
+    helper GBs of peak RSS; on a host already holding large proof state,
+    8-way pools can OOM-kill the helper (SIGKILL -> remote_compile HTTP
+    500).  Long-running proof drivers set this to 1-2."""
+    try:
+        return max(1, int(os.environ.get(
+            "XLAYER_PROVER_COMPILE_WORKERS", str(default))))
+    except ValueError:
+        return default
+
+
 def sync_dispatch_enabled() -> bool:
     return os.environ.get("XLAYER_PROVER_SYNC_DISPATCH", "") \
         not in ("", "0", "false", "no")
@@ -35,7 +49,7 @@ def sync(x):
     return x
 
 
-def aot_warm(fns, args, max_workers: int = 4):
+def aot_warm(fns, args, max_workers: int | None = None):
     """AOT-compile jitted `fns` for concrete `args`; returns callables.
 
     Blocks on `args` first so no prior execution overlaps the compiles,
@@ -46,5 +60,7 @@ def aot_warm(fns, args, max_workers: int = 4):
     import jax
     from concurrent.futures import ThreadPoolExecutor
     jax.block_until_ready(args)
+    if max_workers is None:
+        max_workers = min(4, compile_workers())
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(lambda fn: fn.lower(*args).compile(), fns))
