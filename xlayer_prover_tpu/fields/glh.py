@@ -24,6 +24,49 @@ def asarr(x):
     return np.asarray(x, dtype=np.uint64)
 
 
+# ---------------------------------------------------------------------------
+# Native batched backend (libzkcrypto gl_arr_*): one ctypes crossing per
+# whole-array op instead of ~10 numpy dispatches + temporaries.  Profiled
+# at 2^14: glh primitives were ~160 s of a 367 s host proof, dominated by
+# interpreter overhead.  Same branchless algorithms in C -> bit-identical.
+# ---------------------------------------------------------------------------
+
+_NATIVE = None          # None = not probed, False = unavailable
+_NATIVE_MIN = 1024      # below this, numpy overhead is negligible anyway
+_U64P = None
+
+
+def _nat():
+    global _NATIVE, _U64P
+    if _NATIVE is None:
+        try:
+            from ..native import gl_native
+            _NATIVE = gl_native() or False
+        except Exception:  # noqa: BLE001 — any load failure -> numpy path
+            _NATIVE = False
+        if _NATIVE is not False:
+            import ctypes
+            _U64P = ctypes.POINTER(ctypes.c_uint64)
+    return _NATIVE or None
+
+
+def _nat_ready(*arrs):
+    """All operands same-shape C-contiguous uint64 ndarrays, big enough."""
+    a0 = arrs[0]
+    if not isinstance(a0, np.ndarray) or a0.dtype != np.uint64 \
+            or a0.size < _NATIVE_MIN or not a0.flags["C_CONTIGUOUS"]:
+        return False
+    for a in arrs[1:]:
+        if not isinstance(a, np.ndarray) or a.dtype != np.uint64 \
+                or a.shape != a0.shape or not a.flags["C_CONTIGUOUS"]:
+            return False
+    return True
+
+
+def _p(a):
+    return a.ctypes.data_as(_U64P)
+
+
 def _cond_sub_p(x):
     return np.where(x >= P_U64, x - P_U64, x)
 
@@ -31,6 +74,15 @@ def _cond_sub_p(x):
 def add(a, b):
     a = asarr(a)
     b = asarr(b)
+    lib = _nat()
+    if lib is not None and _nat_ready(a, b):
+        out = np.empty_like(a)
+        lib.gl_arr_add(_p(a), _p(b), _p(out), a.size)
+        return out
+    if lib is not None and _nat_ready(a) and b.ndim == 0:
+        out = np.empty_like(a)
+        lib.gl_arr_add_scalar(_p(a), int(b), _p(out), a.size)
+        return out
     with np.errstate(over="ignore"):
         s = a + b
         s = np.where(s < a, s + EPSILON, s)
@@ -40,6 +92,11 @@ def add(a, b):
 def sub(a, b):
     a = asarr(a)
     b = asarr(b)
+    lib = _nat()
+    if lib is not None and _nat_ready(a, b):
+        out = np.empty_like(a)
+        lib.gl_arr_sub(_p(a), _p(b), _p(out), a.size)
+        return out
     with np.errstate(over="ignore"):
         d = a - b
         d = np.where(a < b, d - EPSILON, d)
@@ -79,8 +136,24 @@ def _reduce128(lo, hi):
 
 
 def mul(a, b):
+    a = asarr(a)
+    b = asarr(b)
+    lib = _nat()
+    if lib is not None:
+        if _nat_ready(a, b):
+            out = np.empty_like(a)
+            lib.gl_arr_mul(_p(a), _p(b), _p(out), a.size)
+            return out
+        if _nat_ready(a) and b.ndim == 0:
+            out = np.empty_like(a)
+            lib.gl_arr_mul_scalar(_p(a), int(b), _p(out), a.size)
+            return out
+        if _nat_ready(b) and a.ndim == 0:
+            out = np.empty_like(b)
+            lib.gl_arr_mul_scalar(_p(b), int(a), _p(out), b.size)
+            return out
     with np.errstate(over="ignore"):
-        return _reduce128(*_mul_wide(asarr(a), asarr(b)))
+        return _reduce128(*_mul_wide(a, b))
 
 
 def mul_const(a, c: int):
@@ -88,8 +161,17 @@ def mul_const(a, c: int):
 
 
 def inv(a):
-    """Elementwise inverse via x^(p-2) square-and-multiply (p-2 bits)."""
+    """Elementwise inverse via x^(p-2) square-and-multiply (p-2 bits).
+
+    Native path: Montgomery batch inversion — 3 muls/element + one scalar
+    exponentiation (zeros map to zero, same as 0^(p-2))."""
     a = asarr(a)
+    lib = _nat()
+    if lib is not None and _nat_ready(a):
+        out = np.empty_like(a)
+        scratch = np.empty_like(a)
+        lib.gl_arr_inv(_p(a), _p(out), _p(scratch), a.size)
+        return out
     e = P - 2
     result = None
     base = a
@@ -155,6 +237,13 @@ def base_sub3(b, a):
 
 
 def mul3(a, b):
+    lib = _nat()
+    if lib is not None and _nat_ready(*a, *b):
+        o = tuple(np.empty_like(a[0]) for _ in range(3))
+        lib.gl_arr_mul3(_p(a[0]), _p(a[1]), _p(a[2]),
+                        _p(b[0]), _p(b[1]), _p(b[2]),
+                        _p(o[0]), _p(o[1]), _p(o[2]), a[0].size)
+        return o
     d0 = mul(a[0], b[0])
     d1 = add(mul(a[0], b[1]), mul(a[1], b[0]))
     d2 = add(add(mul(a[0], b[2]), mul(a[1], b[1])), mul(a[2], b[0]))

@@ -63,6 +63,17 @@ def _load():
     lib.poseidon_storage_key.argtypes = [u64p, u64p, u64p, u64p, u64p, u64p]
     lib.poseidon_storage_key.restype = ctypes.c_int
 
+    # Batched Goldilocks array ops (present in rebuilt libs only; an old
+    # .so without them just disables the glh native fast path)
+    if hasattr(lib, "gl_arr_mul"):
+        for name in ("gl_arr_add", "gl_arr_sub", "gl_arr_mul"):
+            getattr(lib, name).argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+        for name in ("gl_arr_mul_scalar", "gl_arr_add_scalar"):
+            getattr(lib, name).argtypes = [u64p, ctypes.c_uint64, u64p,
+                                           ctypes.c_uint64]
+        lib.gl_arr_mul3.argtypes = [u64p] * 9 + [ctypes.c_uint64]
+        lib.gl_arr_inv.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+
     from ..ops import poseidon_constants as pc
     consts, mds, _ = pc.get_params()
     c_arr = (ctypes.c_uint64 * len(consts))(*consts)
@@ -75,6 +86,14 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def gl_native():
+    """The lib handle iff the batched Goldilocks array ops are present."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gl_arr_mul"):
+        return None
+    return lib
 
 
 def keccak256(data: bytes) -> bytes:
