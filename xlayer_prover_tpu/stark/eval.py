@@ -44,6 +44,11 @@ class EvalEnv:
         self.shift_rows = shift_rows
         self.host = host
         self._memo = {}
+        # shifted-column cache: the same (section, index, shift) appears in
+        # many distinct Col nodes; np.roll per node was ~21 s of a 2^14
+        # host proof.  Keyed by value, per-env (so traced values never
+        # escape a jit scope); unshifted slices are views and not cached.
+        self._col_cache = {}
         # bounded memoization: with a refcount map (count_refs over the
         # roots about to be evaluated) an entry is dropped after its last
         # use, so peak memory is the live shared frontier instead of every
@@ -143,14 +148,24 @@ class EvalEnv:
 
 
     def _col_values(self, c: Col):
+        shifted = bool(c.shift and self.shift_rows)
+        key = (c.section, c.index, c.dim, c.shift) if shifted else None
+        if key is not None:
+            hit = self._col_cache.get(key)
+            if hit is not None:
+                return hit
         sec = self.sections[c.section]
         block = sec[:, c.index:c.index + c.dim]
-        if c.shift and self.shift_rows:
+        if shifted:
             roll = np.roll if self.host else jnp.roll
             block = roll(block, -c.shift * self.shift_rows, axis=0)
         if c.dim == 1:
-            return ("base", block[:, 0])
-        return ("ext", tuple(block[:, k] for k in range(3)))
+            res = ("base", block[:, 0])
+        else:
+            res = ("ext", tuple(block[:, k] for k in range(3)))
+        if key is not None:
+            self._col_cache[key] = res
+        return res
 
     def _eval(self, e: Expr):
         if isinstance(e, Col):
