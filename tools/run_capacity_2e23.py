@@ -57,9 +57,12 @@ def main():
                          "cm2_n": 600, "cm2_2ns": 600,
                          "cm3_n": 999, "cm3_2ns": 999, "q_2ns": 6},
     })
+    print("plan...", flush=True)
     plan = memory_plan(si, n_devices=1)
+    print("plan done", flush=True)
 
     rng = np.random.default_rng(7)
+    print("rng...", flush=True)
     rows_np = rng.integers(0, gl.P, size=(n, cols), dtype=np.uint64)
 
     art = {"what": "reference-geometry capacity run (N=2^23 rows/chip)",
@@ -82,9 +85,18 @@ def main():
         return out
 
     t0 = time.perf_counter()
+    # Chunked upload: a single 0.5 GB device_put stalls the tunnel (the
+    # pipeline bench's 128 MB one-shot works; 512 MB wedges — observed
+    # r5).  64 MB row-blocks with a ready-barrier each flow reliably.
+    # NEVER block_until_ready a raw device_put through the tunnel: the
+    # axon client materializes put->block pathologically (observed r5:
+    # indefinite stall at >=128 MB), while put->use-inside-a-jit streams
+    # fine (bench.py's pipeline pattern).  Register the put and let the
+    # first jit consume it; upload_s then lands inside the first stage.
+    print("put...", flush=True)
     cm = gl.from_u64_np(rows_np)
-    jax.block_until_ready(cm)
-    art["stages"]["upload_s"] = round(time.perf_counter() - t0, 3)
+    print("put registered", flush=True)
+    art["stages"]["upload_registered_s"] = round(time.perf_counter() - t0, 3)
 
     ext = stage("extend_pol_compile+run", ntt.extend_pol, cm, n_bits_ext)
     stage("extend_pol_warm", ntt.extend_pol, cm, n_bits_ext)

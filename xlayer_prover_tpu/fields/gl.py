@@ -247,11 +247,16 @@ def powers_device(base: int, n: int, start: int = 1):
 
 
 def powers(base: int, n: int, start: int = 1):
-    """Host-exact power table as a device array."""
-    vals = np.empty(n, dtype=np.uint64)
-    cur = start % P
-    b = base % P
-    for i in range(n):
-        vals[i] = cur
-        cur = (cur * b) % P
-    return from_u64_np(vals)
+    """Host-exact power table as a device array, log(n) doubling passes.
+
+    The old per-element Python loop was 8.4M scalar modmuls at n=2^23 —
+    ~15 min of silent spin inside the first extend_pol trace at the
+    reference geometry (observed r5; it masqueraded as a tunnel stall)."""
+    from . import glh
+    cur = np.array([start % P], dtype=np.uint64)
+    step = np.uint64((base % P))
+    while cur.size < n:
+        take = min(cur.size, n - cur.size)
+        cur = np.concatenate([cur, glh.mul(cur[:take], step)])
+        step = glh.mul(step, step)
+    return from_u64_np(cur[:n])
